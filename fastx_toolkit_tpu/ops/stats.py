@@ -1,0 +1,237 @@
+"""fastx_quality_stats as a device-side histogram reduction.
+
+The reference accumulates, per cycle (position) and per nucleotide slot
+(ALL/A/C/G/T/N), a counting-sort histogram over quality values plus
+count/min/max/sum (/root/reference/src/fastx_quality_stats/fastx_quality_stats.c:94-216).
+Here the whole accumulation is a batched scatter-add producing
+
+* ``count [L, 6] int64``  — weighted by collapsed reads_count
+* ``hist  [L, 6, 109] int64`` — weighted by reads_count (FASTQ only)
+* ``qsum  [L, 6] int64``  — UNweighted sum of quality values; the reference
+  adds ``quality_value`` once per *sequence* even for collapsed reads
+  (fastx_quality_stats.c:200,206), a quirk we reproduce exactly
+* ``qmin/qmax [L, 6] int32`` — also unweighted, init 100/-100
+
+Partial results merge associatively (+ / min / max), so multi-host runs
+just ``psum``/``pmin``/``pmax`` them (see fastx_toolkit_tpu.parallel).
+Quantiles are computed from the merged histogram with the reference's
+cumulative walk (get_nth_value, fastx_quality_stats.c:218-247).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.records import BaseCode
+
+NUC_NAMES = ("ALL", "A", "C", "G", "T", "N")
+NSLOTS = 6
+NBINS = 109  # quality values -15..93 inclusive
+MIN_Q = -15
+
+_STATS_LUT = jnp.asarray(BaseCode.STATS_INDEX)
+
+
+@dataclasses.dataclass
+class StatsAccumulator:
+    """Host-side running totals over batches (numpy, merged with +/min/max)."""
+
+    count: np.ndarray  # [L, 6] int64
+    hist: np.ndarray  # [L, 6, 109] int64
+    qsum: np.ndarray  # [L, 6] int64
+    qmin: np.ndarray  # [L, 6] int32
+    qmax: np.ndarray  # [L, 6] int32
+
+    @classmethod
+    def empty(cls, L: int) -> "StatsAccumulator":
+        return cls(
+            count=np.zeros((L, NSLOTS), np.int64),
+            hist=np.zeros((L, NSLOTS, NBINS), np.int64),
+            qsum=np.zeros((L, NSLOTS), np.int64),
+            qmin=np.full((L, NSLOTS), 100, np.int32),
+            qmax=np.full((L, NSLOTS), -100, np.int32),
+        )
+
+    def merge_partial(self, count, hist, qsum, qmin, qmax) -> None:
+        L = count.shape[0]
+        if L > self.count.shape[0]:
+            grown = StatsAccumulator.empty(L)
+            grown.merge_partial(self.count, self.hist, self.qsum, self.qmin, self.qmax)
+            self.__dict__.update(grown.__dict__)
+            L = count.shape[0]
+        self.count[:L] += np.asarray(count)
+        self.hist[:L] += np.asarray(hist)
+        self.qsum[:L] += np.asarray(qsum)
+        np.minimum(self.qmin[:L], np.asarray(qmin), out=self.qmin[:L])
+        np.maximum(self.qmax[:L], np.asarray(qmax), out=self.qmax[:L])
+
+    def num_cycles(self) -> int:
+        nz = np.flatnonzero(self.count[:, 0] == 0)
+        return int(nz[0]) if len(nz) else self.count.shape[0]
+
+
+def accumulate(bases, quals, lengths, counts, *, is_fastq: bool):
+    """One batch -> partial (count, hist, qsum, qmin, qmax), jit-friendly."""
+    B, L = bases.shape
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = col < lengths[:, None]
+    nuc = _STATS_LUT[bases.astype(jnp.int32)].astype(jnp.int32)
+    w = jnp.where(valid, counts[:, None], 0).astype(jnp.int32)
+
+    slot_all = (col * NSLOTS).astype(jnp.int32)  # nuc slot 0
+    slot_nuc = slot_all + nuc
+
+    count = jnp.zeros(L * NSLOTS, jnp.int32)
+    count = count.at[slot_all.ravel()].add(w.ravel())
+    count = count.at[slot_nuc.ravel()].add(w.ravel())
+
+    if not is_fastq:
+        zero2 = jnp.zeros((L, NSLOTS), jnp.int32)
+        return (
+            count.reshape(L, NSLOTS),
+            jnp.zeros((L, NSLOTS, NBINS), jnp.int32),
+            zero2,
+            jnp.full((L, NSLOTS), 100, jnp.int32),
+            jnp.full((L, NSLOTS), -100, jnp.int32),
+        )
+
+    q = quals.astype(jnp.int32)
+    qbin = jnp.clip(q - MIN_Q, 0, NBINS - 1)
+    hslot_all = slot_all * NBINS + qbin
+    hslot_nuc = slot_nuc * NBINS + qbin
+    hist = jnp.zeros(L * NSLOTS * NBINS, jnp.int32)
+    hist = hist.at[hslot_all.ravel()].add(w.ravel())
+    hist = hist.at[hslot_nuc.ravel()].add(w.ravel())
+
+    # sum/min/max are UNweighted (once per sequence)
+    w1 = jnp.where(valid, q, 0).astype(jnp.int32)
+    qsum = jnp.zeros(L * NSLOTS, jnp.int32)
+    qsum = qsum.at[slot_all.ravel()].add(w1.ravel())
+    qsum = qsum.at[slot_nuc.ravel()].add(w1.ravel())
+
+    q_for_min = jnp.where(valid, q, 1000)
+    q_for_max = jnp.where(valid, q, -1000)
+    qmin = jnp.full(L * NSLOTS, 100, jnp.int32)
+    qmin = qmin.at[slot_all.ravel()].min(q_for_min.ravel())
+    qmin = qmin.at[slot_nuc.ravel()].min(q_for_min.ravel())
+    qmax = jnp.full(L * NSLOTS, -100, jnp.int32)
+    qmax = qmax.at[slot_all.ravel()].max(q_for_max.ravel())
+    qmax = qmax.at[slot_nuc.ravel()].max(q_for_max.ravel())
+    # padding contributed sentinel 1000/-1000 only at masked slots via the
+    # where() above; but masked positions still scattered -> clamp back
+    qmin = jnp.minimum(qmin, 100)
+    qmax = jnp.maximum(qmax, -100)
+
+    return (
+        count.reshape(L, NSLOTS),
+        hist.reshape(L, NSLOTS, NBINS),
+        qsum.reshape(L, NSLOTS),
+        qmin.reshape(L, NSLOTS),
+        qmax.reshape(L, NSLOTS),
+    )
+
+
+accumulate_jit = jax.jit(accumulate, static_argnames=("is_fastq",))
+
+
+# ---------------------------------------------------------------------------
+# host-side report generation (exact integer semantics)
+# ---------------------------------------------------------------------------
+
+def _get_nth_value(hist_row: np.ndarray, qmin: int, n: int) -> int:
+    """The reference's counting-sort walk (fastx_quality_stats.c:218-247).
+
+    n == 0 returns the stored min field.  For an empty histogram with
+    n > 0 (FASTA input) the C walks off the end of the array and lands on
+    the adjacent struct's min field (value 100) at offset NBINS-1; the
+    emergent return value is 93 -- reproduced here deterministically.
+    """
+    if n == 0:
+        return int(qmin)
+    if hist_row.sum() == 0:
+        return NBINS - 1 + MIN_Q  # = 93, the reference's emergent value
+    pos = 0
+    while n > 0:
+        if hist_row[pos] > n:
+            break
+        n -= int(hist_row[pos])
+        pos += 1
+        while pos < NBINS and hist_row[pos] == 0:
+            pos += 1
+        if pos >= NBINS:
+            return NBINS - 1 + MIN_Q
+    return pos + MIN_Q
+
+
+def _fmt_mean(qsum: int, count: int) -> str:
+    """%3.2f of sum/count; the reference hits 0.0/0.0 -> '-nan' for empty
+    per-nucleotide slots (x86 SSE negative qNaN)."""
+    if count == 0:
+        return "-nan"
+    return "%3.2f" % (float(qsum) / float(count))
+
+
+def _slot_numbers(acc: StatsAccumulator, cyc: int, nuc: int):
+    count = int(acc.count[cyc, nuc])
+    qmin = int(acc.qmin[cyc, nuc])
+    qmax = int(acc.qmax[cyc, nuc])
+    qsum = int(acc.qsum[cyc, nuc])
+    hist = acc.hist[cyc, nuc]
+    q1 = _get_nth_value(hist, qmin, count // 4)
+    med = _get_nth_value(hist, qmin, count // 2)
+    q3 = _get_nth_value(hist, qmin, count * 3 // 4)
+    iqr = q3 - q1
+    # C's IQR*3/2 truncates toward zero (matters only if IQR < 0)
+    half3 = int(iqr * 3 / 2) if iqr < 0 else iqr * 3 // 2
+    lw = qmin if (q1 - half3) < qmin else (q1 - half3)
+    rw = qmax if (q3 + half3) > qmax else (q3 + half3)
+    return count, qmin, qmax, qsum, q1, med, q3, iqr, lw, rw
+
+
+def render_old_format(acc: StatsAccumulator) -> str:
+    """print_old_statistics (fastx_quality_stats.c:349-417)."""
+    out = [
+        "column\tcount\tmin\tmax\tsum\tmean\tQ1\tmed\tQ3\tIQR\tlW\trW\t"
+        "A_Count\tC_Count\tG_Count\tT_Count\tN_Count\tMax_count\n"
+    ]
+    ncyc = acc.num_cycles()
+    max_count = int(acc.count[0, 0]) if ncyc else 0
+    for i in range(ncyc):
+        count, qmin, qmax, qsum, q1, med, q3, iqr, lw, rw = _slot_numbers(acc, i, 0)
+        out.append(
+            "%d\t%d\t%d\t%d\t%d\t%s\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\n"
+            % (
+                i + 1, count, qmin, qmax, qsum, _fmt_mean(qsum, count),
+                q1, med, q3, iqr, lw, rw,
+                int(acc.count[i, 1]), int(acc.count[i, 2]), int(acc.count[i, 3]),
+                int(acc.count[i, 4]), int(acc.count[i, 5]), max_count,
+            )
+        )
+    return "".join(out)
+
+
+def render_new_format(acc: StatsAccumulator) -> str:
+    """print_statistics, the -N format (fastx_quality_stats.c:316-344)."""
+    hdr = ["cycle\tmax_count"]
+    stat_names = ("count", "min", "max", "sum", "mean", "Q1", "med", "Q3", "IQR", "lW", "rW")
+    for nuc in NUC_NAMES:
+        for s in stat_names:
+            hdr.append("\t%s_%s" % (nuc, s))
+    out = ["".join(hdr) + "\n"]
+    ncyc = acc.num_cycles()
+    max_count = int(acc.count[0, 0]) if ncyc else 0
+    for i in range(ncyc):
+        row = ["%d\t%d" % (i + 1, max_count)]
+        for nuc in range(NSLOTS):
+            count, qmin, qmax, qsum, q1, med, q3, iqr, lw, rw = _slot_numbers(acc, i, nuc)
+            row.append(
+                "\t%d\t%d\t%d\t%d\t%s\t%d\t%d\t%d\t%d\t%d\t%d"
+                % (count, qmin, qmax, qsum, _fmt_mean(qsum, count),
+                   q1, med, q3, iqr, lw, rw)
+            )
+        out.append("".join(row) + "\n")
+    return "".join(out)
