@@ -1,0 +1,82 @@
+"""fastq_masker — mask low-quality bases.
+
+Reference: /root/reference/src/fastq_masker/fastq_masker.c
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from ...core import codec
+from ...engine.pipeline import to_device
+from ...ops import transforms
+from .. import common
+from ..common import CliContext, errx
+from . import _shared
+
+USAGE = (
+    "usage: fastq_masker [-h] [-v] [-q N] [-r C] [-z] [-i INFILE] [-o OUTFILE]\n"
+    "Part of " + common.PACKAGE_STRING + " by A. Gordon (assafgordon@gmail.com)\n"
+    "\n"
+    "   [-h]         = This helpful help screen.\n"
+    "   [-q N]       = Quality threshold - nucleotides with lower quality will be masked\n"
+    "                  Default is 10.\n"
+    "   [-r C]       = Replace low-quality nucleotides with character C. Default is 'N'\n"
+    "   [-z]         = Compress output with GZIP.\n"
+    "   [-i INFILE]  = FASTQ input file. default is STDIN.\n"
+    "   [-o OUTFILE] = FASTQ output file. default is STDOUT.\n"
+    "   [-v]         = Verbose - report number of sequences.\n"
+    "                  If [-o] is specified,  report will be printed to STDOUT.\n"
+    "                  If [-o] is not specified (and output goes to STDOUT),\n"
+    "                  report will be printed to STDERR.\n"
+    "\n"
+)
+
+_mask_jit = jax.jit(transforms.masker, static_argnames=("threshold", "mask_char"))
+
+
+def tool_main(ctx: CliContext, argv) -> int:
+    st = {"q": 10, "r": "N"}
+
+    def cb(args, opt, arg):
+        if opt == "q":
+            st["q"] = common.c_atoi(arg)
+            if st["q"] < -40:
+                errx(ctx, "Invalid minimum length value (-q %s)" % arg)
+        elif opt == "r":
+            if len(arg) != 1:
+                errx(ctx, "[-r] parameter requires a single character as value")
+            st["r"] = arg
+
+    args = common.parse_cmdline(ctx, argv, "q:r:", cb, USAGE)
+    batch = _shared.load_batch(ctx, args, filetype=codec.FASTQ_ONLY)
+    (bases, quals, lengths, counts), nb = to_device(batch)
+    b2, masked_any, masked_nucs = _mask_jit(
+        bases, quals, lengths, threshold=st["q"], mask_char=ord(st["r"])
+    )
+    batch.bases = np.asarray(b2)[:nb]
+    _shared.write_same_as_input(ctx, args, batch)
+
+    if args.verbose:
+        rep = common.report_stream(ctx, args)
+        rep.write("Minimum Quality Threshold: %d\n" % st["q"])
+        rep.write("Low-quality nucleotides replaced with '%s'\n" % st["r"])
+        n_in = int(batch.counts.sum())
+        _shared.in_out_report(rep, n_in, n_in)
+        masked_reads = int(
+            (np.asarray(masked_any)[:nb] * np.asarray(batch.counts)).sum()
+        )
+        rep.write("Masked reads: %d\n" % masked_reads)
+        rep.write("Masked nucleotides: %d\n" % int(np.asarray(masked_nucs)[:nb].sum()))
+    return 0
+
+
+def main():
+    sys.exit(common.run_tool_main(tool_main))
+
+
+if __name__ == "__main__":
+    main()

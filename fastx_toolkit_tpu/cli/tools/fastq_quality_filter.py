@@ -1,0 +1,82 @@
+"""fastq_quality_filter — percentile quality filter.
+
+Reference: /root/reference/src/fastq_quality_filter/fastq_quality_filter.c
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from ...core import codec
+from ...engine.pipeline import to_device
+from ...ops import transforms
+from .. import common
+from ..common import CliContext, errx
+from . import _shared
+
+USAGE = (
+    "usage: fastq_quality_filter [-h] [-v] [-q N] [-p N] [-z] [-i INFILE] [-o OUTFILE]\n"
+    "Part of " + common.PACKAGE_STRING + " by A. Gordon (assafgordon@gmail.com)\n"
+    "\n"
+    "   [-h]         = This helpful help screen.\n"
+    "   [-q N]       = Minimum quality score to keep.\n"
+    "   [-p N]       = Minimum percent of bases that must have [-q] quality.\n"
+    "   [-z]         = Compress output with GZIP.\n"
+    "   [-i INFILE]  = FASTA/Q input file. default is STDIN.\n"
+    "   [-o OUTFILE] = FASTA/Q output file. default is STDOUT.\n"
+    "   [-v]         = Verbose - report number of sequences.\n"
+    "                  If [-o] is specified,  report will be printed to STDOUT.\n"
+    "                  If [-o] is not specified (and output goes to STDOUT),\n"
+    "                  report will be printed to STDERR.\n"
+    "\n"
+)
+
+_keep_jit = jax.jit(
+    transforms.quality_filter_keep, static_argnames=("min_quality", "min_percent")
+)
+
+
+def tool_main(ctx: CliContext, argv) -> int:
+    st = {"q": 0, "p": 0}
+
+    def cb(args, opt, arg):
+        if opt == "q":
+            st["q"] = common.c_strtoul(arg)
+        elif opt == "p":
+            st["p"] = common.c_strtoul(arg)
+            if st["p"] <= 0 or st["p"] > 100:
+                errx(ctx, "Invalid percent value (-p %s)" % arg)
+
+    args = common.parse_cmdline(ctx, argv, "q:p:", cb, USAGE)
+    batch = _shared.load_batch(ctx, args, filetype=codec.FASTQ_ONLY)
+    (bases, quals, lengths, counts), nb = to_device(batch)
+    keep = np.asarray(
+        _keep_jit(quals, lengths, min_quality=st["q"], min_percent=st["p"])
+    )[:nb]
+    out = batch.select(keep)
+    _shared.write_same_as_input(ctx, args, out)
+
+    if args.verbose:
+        rep = common.report_stream(ctx, args)
+        rep.write("Quality cut-off: %d\n" % st["q"])
+        rep.write("Minimum percentage: %d\n" % st["p"])
+        n_in = int(batch.counts.sum())
+        n_out = int(out.counts.sum())
+        _shared.in_out_report(rep, n_in, n_out)
+        discarded = n_in - n_out
+        rep.write(
+            "discarded %d (%d%%) low-quality reads.\n"
+            % (discarded, (discarded * 100) // n_in if n_in else 0)
+        )
+    return 0
+
+
+def main():
+    sys.exit(common.run_tool_main(tool_main))
+
+
+if __name__ == "__main__":
+    main()

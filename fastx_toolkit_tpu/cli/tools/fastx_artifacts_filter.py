@@ -1,0 +1,64 @@
+"""fastx_artifacts_filter — drop near-homopolymer artifact reads.
+
+Reference: /root/reference/src/fastx_artifacts_filter/fastx_artifacts_filter.c
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from ...core import codec
+from ...engine.pipeline import to_device
+from ...ops import transforms
+from .. import common
+from ..common import CliContext
+from . import _shared
+
+USAGE = (
+    "usage: fastx_artifacts_filter [-h] [-v] [-z] [-i INFILE] [-o OUTFILE]\n"
+    "Part of " + common.PACKAGE_STRING + " by A. Gordon (assafgordon@gmail.com)\n"
+    "\n"
+    "   [-h]         = This helpful help screen.\n"
+    "   [-i INFILE]  = FASTA/Q input file. default is STDIN.\n"
+    "   [-o OUTFILE] = FASTA/Q output file. default is STDOUT.\n"
+    "   [-z]         = Compress output with GZIP.\n"
+    "   [-v]         = Verbose - report number of processed reads.\n"
+    "                  If [-o] is specified,  report will be printed to STDOUT.\n"
+    "                  If [-o] is not specified (and output goes to STDOUT),\n"
+    "                  report will be printed to STDERR.\n"
+    "\n"
+)
+
+_keep_jit = jax.jit(transforms.artifacts_keep)
+
+
+def tool_main(ctx: CliContext, argv) -> int:
+    args = common.parse_cmdline(ctx, argv, "", None, USAGE)
+    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    (bases, quals, lengths, counts), nb = to_device(batch)
+    keep = np.asarray(_keep_jit(bases, lengths))[:nb]
+    out = batch.select(keep)
+    _shared.write_same_as_input(ctx, args, out)
+
+    if args.verbose:
+        rep = common.report_stream(ctx, args)
+        n_in = int(batch.counts.sum())
+        n_out = int(out.counts.sum())
+        _shared.in_out_report(rep, n_in, n_out)
+        discarded = n_in - n_out
+        rep.write(
+            "discarded %d (%d%%) artifact reads.\n"
+            % (discarded, (discarded * 100) // n_in if n_in else 0)
+        )
+    return 0
+
+
+def main():
+    sys.exit(common.run_tool_main(tool_main))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""fastx_quality_stats — per-cycle quality/nucleotide statistics.
+
+Reference: /root/reference/src/fastx_quality_stats/fastx_quality_stats.c
+The accumulation runs on device as a scatter-add reduction
+(fastx_toolkit_tpu.ops.stats); report rendering is host-side with the
+reference's exact integer semantics.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ...core import codec
+from ...engine.pipeline import to_device
+from ...ops import stats as stats_ops
+from .. import common
+from ..common import CliContext, ExitWithStatus
+from . import _shared
+
+USAGE = (
+    "usage: fastx_quality_stats [-h] [-N] [-i INFILE] [-o OUTFILE]\n"
+    "Part of " + common.PACKAGE_STRING + " by A. Gordon (assafgordon@gmail.com)\n"
+    "\n"
+    "   [-h] = This helpful help screen.\n"
+    "   [-i INFILE]  = FASTQ input file. default is STDIN.\n"
+    "   [-o OUTFILE] = TEXT output file. default is STDOUT.\n"
+    "   [-N]         = New output format (with more information per nucleotide/cycle).\n"
+    "\n"
+    "The *OLD* output TEXT file will have the following fields (one row per column):\n"
+    "	column	= column number (1 to 36 for a 36-cycles read solexa file)\n"
+    "	count   = number of bases found in this column.\n"
+    "	min     = Lowest quality score value found in this column.\n"
+    "	max     = Highest quality score value found in this column.\n"
+    "	sum     = Sum of quality score values for this column.\n"
+    "	mean    = Mean quality score value for this column.\n"
+    "	Q1	= 1st quartile quality score.\n"
+    "	med	= Median quality score.\n"
+    "	Q3	= 3rd quartile quality score.\n"
+    "	IQR	= Inter-Quartile range (Q3-Q1).\n"
+    "	lW	= 'Left-Whisker' value (for boxplotting).\n"
+    "	rW	= 'Right-Whisker' value (for boxplotting).\n"
+    "	A_Count	= Count of 'A' nucleotides found in this column.\n"
+    "	C_Count	= Count of 'C' nucleotides found in this column.\n"
+    "	G_Count	= Count of 'G' nucleotides found in this column.\n"
+    "	T_Count	= Count of 'T' nucleotides found in this column.\n"
+    "	N_Count = Count of 'N' nucleotides found in this column.\n"
+    "	max-count = max. number of bases (in all cycles)\n"
+    "\n"
+    "\n"
+    "The *NEW* output format:\n"
+    "	cycle (previously called 'column') = cycle number\n"
+    "	max-count\n"
+    "	For each nucleotide in the cycle (ALL/A/C/G/T/N):\n"
+    "		count   = number of bases found in this column.\n"
+    "		min     = Lowest quality score value found in this column.\n"
+    "		max     = Highest quality score value found in this column.\n"
+    "		sum     = Sum of quality score values for this column.\n"
+    "		mean    = Mean quality score value for this column.\n"
+    "		Q1	= 1st quartile quality score.\n"
+    "		med	= Median quality score.\n"
+    "		Q3	= 3rd quartile quality score.\n"
+    "		IQR	= Inter-Quartile range (Q3-Q1).\n"
+    "		lW	= 'Left-Whisker' value (for boxplotting).\n"
+    "		rW	= 'Right-Whisker' value (for boxplotting).\n"
+    "\n"
+    "\n"
+)
+
+
+def tool_main(ctx: CliContext, argv) -> int:
+    st = {"new_format": False}
+
+    def cb(args, opt, arg):
+        if opt == "N":
+            st["new_format"] = True
+
+    args = common.parse_cmdline(ctx, argv, "N", cb, USAGE)
+    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    (bases, quals, lengths, counts), nb = to_device(batch)
+    parts = stats_ops.accumulate_jit(bases, quals, lengths, counts, is_fastq=batch.is_fastq)
+    acc = stats_ops.StatsAccumulator.empty(bases.shape[1])
+    acc.merge_partial(*[np.asarray(p) for p in parts])
+
+    text = (
+        stats_ops.render_new_format(acc)
+        if st["new_format"]
+        else stats_ops.render_old_format(acc)
+    )
+    if args.output_filename == "-":
+        ctx.stdout.write(text.encode())
+    else:
+        try:
+            with open(args.output_filename, "w") as f:
+                f.write(text)
+        except OSError as e:
+            print(
+                "%s: Failed to create output file (%s): %s"
+                % (ctx.prog, args.output_filename, e.strerror),
+                file=ctx.stderr,
+            )
+            raise ExitWithStatus(1)
+    return 0
+
+
+def main():
+    sys.exit(common.run_tool_main(tool_main))
+
+
+if __name__ == "__main__":
+    main()

@@ -445,6 +445,7 @@ def render(
 
     if ascii_arr.all():
         qual_mat = (quals + q_offset).astype(np.uint8)
+        qw = qual_mat.shape[1]
         widths = [
             (np.full(n, ord("@"), np.uint8), None, np.ones(n, dtype=np.int64)),
             (name_mat, nw, name_lens),
@@ -454,7 +455,7 @@ def render(
             (np.full(n, ord("+"), np.uint8), None, np.ones(n, dtype=np.int64)),
             (name2_mat, name2_mat.shape[1], name2_lens),
             (np.full(n, 0x0A, np.uint8), None, np.ones(n, dtype=np.int64)),
-            (qual_mat, w, seq_lens),
+            (qual_mat, qw, seq_lens),
             (np.full(n, 0x0A, np.uint8), None, np.ones(n, dtype=np.int64)),
         ]
         return _assemble(widths, n)

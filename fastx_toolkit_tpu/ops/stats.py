@@ -82,7 +82,7 @@ def accumulate(bases, quals, lengths, counts, *, is_fastq: bool):
     nuc = _STATS_LUT[bases.astype(jnp.int32)].astype(jnp.int32)
     w = jnp.where(valid, counts[:, None], 0).astype(jnp.int32)
 
-    slot_all = (col * NSLOTS).astype(jnp.int32)  # nuc slot 0
+    slot_all = jnp.broadcast_to((col * NSLOTS).astype(jnp.int32), (B, L))  # nuc slot 0
     slot_nuc = slot_all + nuc
 
     count = jnp.zeros(L * NSLOTS, jnp.int32)

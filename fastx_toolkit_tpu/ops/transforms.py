@@ -128,7 +128,7 @@ def masker(bases, quals, lengths, *, threshold: int, mask_char: int):
     (bases, masked_per_read_bool, masked_nucleotide_count_per_read)."""
     m = _in_len(bases, lengths) & (quals < threshold)
     bases = jnp.where(m, jnp.uint8(mask_char), bases)
-    return bases, m.any(axis=1), m.sum(axis=1, dtype=jnp.int64)
+    return bases, m.any(axis=1), m.sum(axis=1, dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +177,7 @@ def nucleotide_changer(bases, lengths, *, rna_mode: bool):
     first_bad = jnp.where(forbidden.any(axis=1), jnp.argmax(forbidden, axis=1), L)
     hit = m & (bases == src)
     bases = jnp.where(hit, jnp.uint8(dst), bases)
-    return bases, hit.sum(axis=1, dtype=jnp.int64), first_bad
+    return bases, hit.sum(axis=1, dtype=jnp.int32), first_bad
 
 
 # ---------------------------------------------------------------------------
