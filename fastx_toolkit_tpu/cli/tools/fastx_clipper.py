@@ -1,0 +1,142 @@
+"""fastx_clipper — adapter clipping via the batched half-local DP engine.
+
+Reference: /root/reference/src/fastx_clipper/fastx_clipper.cpp
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ...core import codec
+from ...engine.pipeline import to_device
+from ...ops import clipper
+from .. import common
+from ..common import CliContext, errx
+from . import _shared
+
+MAX_ADAPTER_LEN = 100
+
+USAGE = (
+    "usage: fastx_clipper [-h] [-a ADAPTER] [-D] [-l N] [-n] [-d N] [-c] [-C] [-o] [-v] [-z] [-i INFILE] [-o OUTFILE]\n"
+    "Part of " + common.PACKAGE_STRING + " by A. Gordon (assafgordon@gmail.com)\n"
+    "\n"
+    "   [-h]         = This helpful help screen.\n"
+    "   [-a ADAPTER] = ADAPTER string. default is CCTTAAGG (dummy adapter).\n"
+    "   [-l N]       = discard sequences shorter than N nucleotides. default is 5.\n"
+    "   [-d N]       = Keep the adapter and N bases after it.\n"
+    "                  (using '-d 0' is the same as not using '-d' at all. which is the default).\n"
+    "   [-c]         = Discard non-clipped sequences (i.e. - keep only sequences which contained the adapter).\n"
+    "   [-C]         = Discard clipped sequences (i.e. - keep only sequences which did not contained the adapter).\n"
+    "   [-k]         = Report Adapter-Only sequences.\n"
+    "   [-n]         = keep sequences with unknown (N) nucleotides. default is to discard such sequences.\n"
+    "   [-v]         = Verbose - report number of sequences.\n"
+    "                  If [-o] is specified,  report will be printed to STDOUT.\n"
+    "                  If [-o] is not specified (and output goes to STDOUT),\n"
+    "                  report will be printed to STDERR.\n"
+    "   [-z]         = Compress output with GZIP.\n"
+    "   [-D]	 = DEBUG output.\n"
+    "   [-M N]       = require minimum adapter alignment length of N.\n"
+    "                  If less than N nucleotides aligned with the adapter - don't clip it."
+    "   [-i INFILE]  = FASTA/Q input file. default is STDIN.\n"
+    "   [-o OUTFILE] = FASTA/Q output file. default is STDOUT.\n"
+    "\n"
+)
+
+
+def tool_main(ctx: CliContext, argv) -> int:
+    st = {
+        "adapter": "CCTTAAGG", "min_length": 5, "discard_n": True,
+        "keep_delta": 0, "discard_non_clipped": False, "discard_clipped": False,
+        "show_adapter_only": False, "debug": 0, "min_adapter": 0,
+    }
+
+    def cb(args, opt, arg):
+        if opt == "M":
+            st["min_adapter"] = common.c_atoi(arg)
+            if st["min_adapter"] <= 0:
+                errx(ctx, "Invalid minimum adapter length (-M %s)" % arg)
+        elif opt == "k":
+            st["show_adapter_only"] = True
+        elif opt == "D":
+            st["debug"] += 1
+        elif opt == "c":
+            st["discard_non_clipped"] = True
+        elif opt == "C":
+            st["discard_clipped"] = True
+        elif opt == "d":
+            st["keep_delta"] = common.c_strtoul(arg)
+            if st["keep_delta"] < 0:
+                errx(ctx, "Invalid number bases to keep (-d %s)" % arg)
+        elif opt == "a":
+            st["adapter"] = arg[: MAX_ADAPTER_LEN - 1]
+        elif opt == "l":
+            st["min_length"] = common.c_strtoul(arg) & 0xFFFFFFFF
+        elif opt == "n":
+            st["discard_n"] = False
+        elif opt == "s":
+            pass  # present in the reference's option string, unhandled there
+
+    args = common.parse_cmdline(ctx, argv, "M:kDCcd:a:s:l:n", cb, USAGE)
+    keep_delta = st["keep_delta"]
+    if keep_delta > 0:
+        keep_delta += len(st["adapter"])
+
+    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    (bases, quals, lengths, counts), nb = to_device(batch)
+    b2, q2, l2, write, cat = clipper.clip_batch_jit(
+        bases, quals, lengths,
+        adapter=st["adapter"].encode(),
+        min_length=st["min_length"],
+        keep_delta=keep_delta,
+        discard_non_clipped=st["discard_non_clipped"],
+        discard_clipped=st["discard_clipped"],
+        keep_n=not st["discard_n"],
+        show_adapter_only=st["show_adapter_only"],
+        min_adapter_len=st["min_adapter"],
+    )
+    batch.bases = np.asarray(b2)[:nb]
+    batch.quals = np.asarray(q2)[:nb]
+    batch.lengths = np.asarray(l2)[:nb]
+    cat = np.asarray(cat)[:nb]
+    out = batch.select(np.asarray(write)[:nb])
+    _shared.write_same_as_input(ctx, args, out)
+
+    if args.verbose:
+        rep = common.report_stream(ctx, args)
+        rc = np.asarray(batch.counts)
+        n_in = int(rc.sum())
+        n_zero = int(rc[cat == 1].sum())
+        n_short = int(rc[cat == 2].sum())
+        n_nonclip = int(rc[cat == 3].sum())
+        n_clip = int(rc[cat == 4].sum())
+        n_n = int(rc[cat == 5].sum())
+        rep.write("Clipping Adapter: %s\n" % st["adapter"])
+        rep.write("Min. Length: %d\n" % st["min_length"])
+        if st["discard_clipped"]:
+            rep.write("Clipped reads - discarded.\n")
+        if st["discard_non_clipped"]:
+            rep.write("Non-Clipped reads - discarded.\n")
+        rep.write("Input: %d reads.\n" % n_in)
+        rep.write(
+            "Output: %d reads.\n"
+            % (n_in - n_short - n_nonclip - n_clip - n_n - n_zero)
+        )
+        rep.write("discarded %d too-short reads.\n" % n_short)
+        rep.write("discarded %d adapter-only reads.\n" % n_zero)
+        if st["discard_non_clipped"]:
+            rep.write("discarded %d non-clipped reads.\n" % n_nonclip)
+        if st["discard_clipped"]:
+            rep.write("discarded %d clipped reads.\n" % n_clip)
+        if st["discard_n"]:
+            rep.write("discarded %d N reads.\n" % n_n)
+    return 0
+
+
+def main():
+    sys.exit(common.run_tool_main(tool_main))
+
+
+if __name__ == "__main__":
+    main()

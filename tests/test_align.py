@@ -1,0 +1,97 @@
+"""Differential tests: batched integer DP vs the float32 numpy oracle
+transcribing the reference's sequence_alignment.cpp."""
+
+import numpy as np
+import pytest
+
+from fastx_toolkit_tpu.kernels import align
+
+FIELDS = (
+    "matches", "mismatches", "gaps", "neutral",
+    "query_start", "query_end", "target_start", "target_end",
+)
+
+
+def _oracle_fields(q, t, exact=False):
+    r = align.align_oracle(q, t, exact=exact)
+    return dict(
+        matches=r.matches, mismatches=r.mismatches, gaps=r.gaps,
+        neutral=r.neutral_matches, query_start=r.query_start,
+        query_end=r.query_end, target_start=r.target_start,
+        target_end=r.target_end,
+    )
+
+
+def _batchify(reads, pad_to=None):
+    L = pad_to or max(len(r) for r in reads)
+    bases = np.zeros((len(reads), L), np.uint8)
+    lengths = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        bases[i, : len(r)] = np.frombuffer(r, np.uint8)
+        lengths[i] = len(r)
+    return bases, lengths
+
+
+def _check(reads, adapter):
+    """N-free reads: float32 oracle is exact -> must match bit-for-bit.
+    Reads with N: float accumulation noise makes the reference's argmax
+    tie-break nondeterministic, so those compare against the exact-decimal
+    oracle (see align_oracle docstring)."""
+    bases, lengths = _batchify(reads)
+    out = {k: np.asarray(v) for k, v in align.align_batch(bases, lengths, adapter).items()}
+    for i, r in enumerate(reads):
+        want = _oracle_fields(r, adapter, exact=(b"N" in r))
+        got = {k: int(out[k][i]) for k in FIELDS}
+        assert got == want, f"read {i} ({r}): got {got} want {want}"
+
+
+def test_exact_adapter_suffix():
+    _check([b"ACGTACGTACCCTTAAGG", b"CCTTAAGGACGTACGTAC"], b"CCTTAAGG")
+
+
+def test_random_uniform_length():
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    adapter = b"CAATTGGTTAATCCCCCTATATA"
+    reads = [bytes(rng.choice(alpha, size=36)) for _ in range(200)]
+    _check(reads, adapter)
+
+
+def test_random_adapter_embedded():
+    rng = np.random.default_rng(1)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    adapter = b"CTGTAGGCACCATCAAT"
+    reads = []
+    for _ in range(100):
+        pos = int(rng.integers(0, 30))
+        pre = bytes(rng.choice(alpha, size=pos))
+        # adapter with sprinkled errors
+        ad = bytearray(adapter)
+        for _ in range(int(rng.integers(0, 3))):
+            j = int(rng.integers(0, len(ad)))
+            ad[j] = int(rng.choice(alpha))
+        read = (pre + bytes(ad) + bytes(rng.choice(alpha, size=10)))[:36]
+        reads.append(read.ljust(36, b"A"))
+    _check(reads, adapter)
+
+
+def test_mixed_lengths():
+    rng = np.random.default_rng(2)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    adapter = b"CCTTAAGG"
+    reads = [bytes(rng.choice(alpha, size=int(rng.integers(5, 64)))) for _ in range(100)]
+    _check(reads, adapter)
+
+
+def test_short_adapter_and_reads():
+    _check([b"A", b"AC", b"CCTT"], b"CCTTAAGG")
+    _check([b"ACGTACGT"], b"AC")
+
+
+@pytest.mark.slow
+def test_random_large_batch():
+    rng = np.random.default_rng(3)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    adapter = b"CAATTGGTTAATCCCCCTATATA"
+    reads = [bytes(rng.choice(alpha, size=int(rng.integers(10, 100)))) for _ in range(300)]
+    _check(reads, adapter)

@@ -170,3 +170,15 @@ class TestQualityStats:
         r = run_tool(fastx_quality_stats, ["-Q", "64", "-N"], fixture("fastq_stats1.fastq"))
         assert r.status == 0
         assert r.stdout.startswith(b"cycle\tmax_count\tALL_count")
+
+
+class TestClipper:
+    def test_golden_1a(self):
+        from fastx_toolkit_tpu.cli.tools import fastx_clipper
+        r = run_tool(
+            fastx_clipper,
+            ["-Q", "64", "-l", "15", "-a", "CAATTGGTTAATCCCCCTATATA", "-d", "0", "-v", "-c", "-n"],
+            fixture("fastx_clipper1.fastq"),
+        )
+        assert r.status == 0
+        assert r.stdout == fixture("fastx_clipper1a.out")
