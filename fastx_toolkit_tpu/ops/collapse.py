@@ -1,0 +1,92 @@
+"""fastx_collapser as a device-side sort + segment-reduce dedup.
+
+The reference accumulates a hash map sequence -> reads_count
+(/root/reference/src/fastx_collapser/fastx_collapser.cpp:112-114), sorts
+ascending by count and prints in descending-count order renamed
+``>rank-count`` (:116-122).  Tie order among equal counts in the
+reference is libstdc++ hash-bucket iteration order — implementation-
+defined.  Our deterministic contract: count DESCENDING, ties broken by
+FIRST APPEARANCE in the input (ascending).  Parity tests compare
+equal-count groups order-insensitively.
+
+Device algorithm: pack each read's bytes into big-endian uint32 words
+(lexicographic word order == byte order, PAD=0 sorts shortest-first),
+multi-key stable sort, mark segment boundaries, segment-sum the
+collapsed counts.  Partial (sequence, count) tables from different hosts
+merge by concatenation + re-collapse, so multi-host reduction is an
+all-gather followed by the same kernel (see fastx_toolkit_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_words(bases: np.ndarray) -> np.ndarray:
+    """uint8 [B, L] -> uint32 [B, ceil(L/4)] big-endian packed words."""
+    B, L = bases.shape
+    L4 = -(-L // 4) * 4
+    if L4 != L:
+        bases = np.pad(bases, ((0, 0), (0, L4 - L)))
+    return bases.reshape(B, L4 // 4, 4).astype(np.uint32) @ np.array(
+        [1 << 24, 1 << 16, 1 << 8, 1], dtype=np.uint32
+    )
+
+
+def collapse(words, counts, first_idx):
+    """Device dedup.
+
+    words uint32 [B, W], counts int32 [B], first_idx int32 [B] (original
+    positions for the first-appearance tie-break).
+
+    Returns (order, seg_counts, seg_first, uniq_mask, perm) where ``perm``
+    sorts rows lexicographically, ``uniq_mask`` marks segment heads in
+    sorted order, ``seg_counts``/``seg_first`` are per-row totals valid at
+    segment heads.
+    """
+    words = jnp.asarray(words)
+    counts = jnp.asarray(counts)
+    first_idx = jnp.asarray(first_idx)
+    B, W = words.shape
+    # lexsort: LAST key is primary -> word 0 last, first_idx as the
+    # least-significant tie-break so equal sequences stay in input order
+    keys = (first_idx,) + tuple(words[:, w] for w in range(W - 1, -1, -1))
+    perm = jnp.lexsort(keys)
+    sw = words[perm]
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), (sw[1:] != sw[:-1]).any(axis=1)]
+    )
+    seg_id = jnp.cumsum(head) - 1
+    seg_counts = jnp.zeros(B, counts.dtype).at[seg_id].add(counts[perm])
+    seg_first = jnp.full(B, jnp.iinfo(jnp.int32).max, jnp.int32).at[seg_id].min(
+        first_idx[perm]
+    )
+    return perm, head, seg_id, seg_counts, seg_first
+
+
+collapse_jit = jax.jit(collapse)
+
+
+def collapse_batch(bases: np.ndarray, counts: np.ndarray):
+    """Host wrapper: returns (uniq_row_indices, uniq_counts, uniq_first)
+    where uniq_row_indices point into the ORIGINAL batch (first-appearance
+    representative of each distinct sequence)."""
+    B = bases.shape[0]
+    if B == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+    words = pack_words(np.asarray(bases, dtype=np.uint8))
+    first_idx = np.arange(B, dtype=np.int32)
+    perm, head, seg_id, seg_counts, seg_first = (
+        np.asarray(x) for x in collapse_jit(words, counts, first_idx)
+    )
+    nseg = int(head.sum())
+    uniq_first = seg_first[:nseg]
+    uniq_counts = seg_counts[:nseg]
+    return uniq_first.astype(np.int64), uniq_counts.astype(np.int64), uniq_first
+
+
+def final_order(uniq_counts: np.ndarray, uniq_first: np.ndarray) -> np.ndarray:
+    """Output order: count descending, first-appearance ascending."""
+    return np.lexsort((uniq_first, -uniq_counts.astype(np.int64)))
