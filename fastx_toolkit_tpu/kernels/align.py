@@ -253,6 +253,21 @@ def align_batch(bases, lengths, adapter: bytes):
     Returns dict of int32 [B] arrays: matches, mismatches, gaps, neutral,
     query_start, query_end, target_start, target_end.
 
+    TPU-first design: instead of materializing an origin matrix and
+    walking it backwards per read (the reference's traceback,
+    sequence_alignment.cpp:496-604 — a serial pointer chase), every DP
+    cell carries its PATH STATISTICS forward: (matches, mismatches, gaps,
+    neutral, query_start, target_start) propagate through the same
+    max-selects that pick the cell's origin.  The in-column dependency
+    cur[y] = max(base[y], cur[y-1]+gap) becomes an associative scan whose
+    combine key is (gap-adjusted score, winner-was-upper-left): the C
+    resolves candidate ties with priority UPPER_LEFT > UPPER > LEFT
+    (sequence_alignment.cpp:394-407), which in chain form means a later
+    cell wins an equal-score tie against the running up-chain iff its own
+    winner was the upper-left move.  Gap counts ride the scan as g-y so
+    pure-up chains need no per-step updates.  All state is laid out
+    [H, B] so the big batch dimension rides the 128-wide lane axis.
+
     Cells at x >= lengths[b] are excluded from the argmax so each read's
     matrix is exactly |read| x |adapter| like the reference's (the
     reference's grow-only matrix can scan stale heap bytes for
@@ -261,111 +276,151 @@ def align_batch(bases, lengths, adapter: bytes):
     bases = jnp.asarray(bases)
     lengths = jnp.asarray(lengths)
     B, L = bases.shape
-    t = jnp.asarray(np.frombuffer(adapter, np.uint8))
+    t = jnp.asarray(np.frombuffer(adapter, np.uint8)).astype(jnp.int32)
     H = len(adapter)
-    ys = jnp.arange(H, dtype=jnp.int32)
-    target_border = jnp.where(ys <= 3, 0, GAP * (ys - 3)).astype(jnp.int32)
-    NEG = jnp.int32(-100000 * 10)
+    ys = jnp.arange(H, dtype=jnp.int32)[:, None]  # [H, 1]
+    target_border = jnp.where(ys <= 3, 0, GAP * (ys - 3)).astype(jnp.int32)  # [H,1]
+    NEG = jnp.int32(-1000000)
+    basesT = bases.T  # [L, B] so per-step slices are contiguous rows
 
-    gap_y = GAP * ys  # [H]
+    tc = t[:, None]  # [H, 1]
+    t_is_n = tc == _N
+
+    def comb(a, b):
+        """Associative up-chain combine; b is the later block.  b wins a
+        score tie only if its winner was an upper-left move."""
+        ywins = (b[0] > a[0]) | ((b[0] == a[0]) & b[1])
+        return tuple(jnp.where(ywins, yb, ya) for ya, yb in zip(a, b))
 
     def step(carry, x):
-        prev, best, bx, by = carry  # prev: [B, H] previous column scores
-        qc = bases[:, x].astype(jnp.int32)[:, None]  # [B, 1]
-        delta = _match_delta(qc, t[None, :])  # [B, H]
-
-        left_src = jnp.where(x > 0, prev, target_border[None, :])
-        left = left_src + GAP
-        # off-diagonal ban (sequence_alignment.cpp:385-389)
-        ban = (ys > 3) & (ys - 3 > x)
-        left = jnp.where(ban[None, :], NEG, left)
-
-        upleft_src = jnp.where(
-            x > 0,
-            jnp.concatenate([jnp.zeros((B, 1), jnp.int32), prev[:, :-1]], axis=1),
-            jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), target_border[:-1]]
-            )[None, :],
+        # prev column state, all [H, B] int32 (absolute counters)
+        (psc, pm, pmm, pg, pnm, pqs, pts, best, bm, bmm, bg, bnm, bqs, bts,
+         bx, by) = carry
+        qc = basesT[x].astype(jnp.int32)[None, :]  # [1, B]
+        q_is_n = qc == _N
+        one_n = q_is_n | t_is_n
+        eq = qc == tc
+        delta = jnp.where(
+            q_is_n & t_is_n, 0,
+            jnp.where(one_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)),
         )
-        upleft = upleft_src + delta
+        inc_m = (~one_n & eq).astype(jnp.int32)
+        inc_mm = (~one_n & ~eq).astype(jnp.int32)
+        inc_nm = one_n.astype(jnp.int32)
 
-        base = jnp.maximum(upleft, left)
-        base_origin = jnp.where(left > upleft, FROM_LEFT, FROM_UPPER_LEFT).astype(jnp.int8)
-        # up contribution at y=0 comes from query_border[x] == 0
-        base0 = base.at[:, 0].max(0 + GAP)
-        up0_wins = (0 + GAP) > base[:, 0]
-        # cur[y] = max(base[y], cur[y-1] + GAP)  via cumulative max
-        adj = base0 - gap_y[None, :]
-        cm = jax.lax.cummax(adj, axis=1)
-        cur = cm + gap_y[None, :]
-        up_contrib = jnp.concatenate([jnp.full((B, 1), NEG), cur[:, :-1] + GAP], axis=1)
-        up_wins = up_contrib > base
-        up_wins = up_wins.at[:, 0].set(up0_wins)
-        orig = jnp.where(up_wins, jnp.int8(FROM_UPPER), base_origin)
+        first_col = x == 0
 
-        # global max tracking: x-major, y-minor scan order, strict >
-        valid = x < lengths  # [B]
-        col_best = jnp.max(cur, axis=1)
-        col_by = jnp.argmax(cur == col_best[:, None], axis=1).astype(jnp.int32)
-        improve = valid & (col_best > best)
-        best = jnp.where(improve, col_best, best)
-        bx = jnp.where(improve, x, bx)
-        by = jnp.where(improve, col_by, by)
-        return (cur, best, bx, by), orig
+        def shift_down(a, top):
+            return jnp.concatenate([top, a[:-1]], axis=0)
 
-    init = (
-        jnp.zeros((B, H), jnp.int32),
-        jnp.full((B,), -10000000, jnp.int32),
-        jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B,), jnp.int32),
-    )
-    (final_col, best, bx, by), origins = jax.lax.scan(
-        step, init, jnp.arange(L, dtype=jnp.int32)
-    )
-    # origins: [L, B, H] -> [B, L*H] for flat gathers
-    origins = jnp.transpose(origins, (1, 0, 2)).reshape(B, L * H)
+        # --- upper-left candidate ---
+        zrow = jnp.zeros((1, B), jnp.int32)
+        ul_src_sc = jnp.where(
+            first_col,
+            shift_down(jnp.broadcast_to(target_border, (H, B)), zrow),
+            shift_down(psc, zrow),
+        )
+        fresh_ul = first_col | (ys == 0)  # path starts at this cell
+        ul_sc = ul_src_sc + delta
+        ul_m = jnp.where(fresh_ul, 0, shift_down(pm, zrow)) + inc_m
+        ul_mm = jnp.where(fresh_ul, 0, shift_down(pmm, zrow)) + inc_mm
+        ul_nm = jnp.where(fresh_ul, 0, shift_down(pnm, zrow)) + inc_nm
+        ul_g = jnp.where(fresh_ul, 0, shift_down(pg, zrow))
+        ul_qs = jnp.where(fresh_ul, x, shift_down(pqs, zrow))
+        ul_ts = jnp.where(fresh_ul, jnp.broadcast_to(ys, (H, B)), shift_down(pts, zrow))
 
-    # traceback (sequence_alignment.cpp:496-604), fixed trip count L+H
-    def tb_step(carry, _):
-        x, y, qs, ts, m, mm, g, nm = carry
-        active = (x >= 0) & (y >= 0)
-        xi = jnp.maximum(x, 0)
-        yi = jnp.maximum(y, 0)
-        o = jnp.take_along_axis(origins, (xi * H + yi)[:, None], axis=1)[:, 0]
-        qc = jnp.take_along_axis(bases, xi[:, None], axis=1)[:, 0].astype(jnp.int32)
-        tc = t[yi].astype(jnp.int32)
+        # --- left candidate (banned off-diagonal) ---
+        ban = (ys > 3) & (ys - 3 > x)
+        left_sc = jnp.where(
+            ban, NEG, jnp.where(first_col, target_border, psc) + GAP
+        )
+        left_g = jnp.where(first_col, 1, pg + 1)
+        left_m = jnp.where(first_col, 0, pm)
+        left_mm = jnp.where(first_col, 0, pmm)
+        left_nm = jnp.where(first_col, 0, pnm)
+        left_qs = jnp.where(first_col, x, pqs)
+        left_ts = jnp.where(first_col, jnp.broadcast_to(ys, (H, B)), pts)
 
-        qs = jnp.where(active, x, qs)
-        ts = jnp.where(active, y, ts)
+        # --- resolve UL vs LEFT (UL wins ties: C checks UL first) ---
+        lw = left_sc > ul_sc
+        e_sc = jnp.where(lw, left_sc, ul_sc)
+        e_ul = ~lw  # element winner was the upper-left move
+        e_m = jnp.where(lw, left_m, ul_m)
+        e_mm = jnp.where(lw, left_mm, ul_mm)
+        e_g = jnp.where(lw, left_g, ul_g)
+        e_nm = jnp.where(lw, left_nm, ul_nm)
+        e_qs = jnp.where(lw, left_qs, ul_qs)
+        e_ts = jnp.where(lw, left_ts, ul_ts)
 
-        is_left = active & (o == FROM_LEFT)
-        is_up = active & (o == FROM_UPPER)
-        is_ul = active & (o == FROM_UPPER_LEFT)
-        both_n = (qc == _N) & (tc == _N)
-        one_n = ((qc == _N) | (tc == _N))
-        # match_value: 'N' if either is N (incl. both), else M/x
-        g = g + (is_left | is_up)
-        nm = nm + (is_ul & one_n)
-        m = m + (is_ul & ~one_n & (qc == tc))
-        mm = mm + (is_ul & ~one_n & (qc != tc))
-        _ = both_n
-        x = x - jnp.where(is_left | is_ul, 1, 0)
-        y = y - jnp.where(is_up | is_ul, 1, 0)
-        return (x, y, qs, ts, m, mm, g, nm), None
+        # --- y==0 border-up candidate (query_border[x] + GAP), priority
+        #     UP: beats LEFT ties, loses UL ties ---
+        up0_sc = jnp.int32(GAP)
+        row0 = ys == 0
+        up0_better = row0 & (
+            (up0_sc > e_sc) | ((up0_sc == e_sc) & ~e_ul)
+        )
+        e_sc = jnp.where(up0_better, up0_sc, e_sc)
+        e_ul = jnp.where(up0_better, False, e_ul)
+        e_m = jnp.where(up0_better, 0, e_m)
+        e_mm = jnp.where(up0_better, 0, e_mm)
+        e_g = jnp.where(up0_better, 1, e_g)
+        e_nm = jnp.where(up0_better, 0, e_nm)
+        e_qs = jnp.where(up0_better, x, e_qs)
+        e_ts = jnp.where(up0_better, 0, e_ts)
 
-    zeros = jnp.zeros((B,), jnp.int32)
-    (x, y, qs, ts, m, mm, g, nm), _ = jax.lax.scan(
-        tb_step, (bx, by, zeros, zeros, zeros, zeros, zeros, zeros),
-        None, length=L + H,
-    )
+        # --- up-chain via associative scan over y ---
+        gap_y = GAP * ys
+        adj = e_sc - gap_y
+        g_adj = e_g - ys  # g rides as g - y
+        out = jax.lax.associative_scan(
+            comb, (adj, e_ul, e_m, e_mm, g_adj, e_nm, e_qs, e_ts), axis=0
+        )
+        c_adj, _, c_m, c_mm, c_gadj, c_nm, c_qs, c_ts = out
+        cur = c_adj + gap_y
+        c_g = c_gadj + ys
+
+        # --- global argmax (x-major then y order, strict >) ---
+        col_best = jnp.max(cur, axis=0)  # [B]
+        ymask = cur == col_best[None, :]
+        col_by = jnp.argmax(ymask, axis=0).astype(jnp.int32)  # first y
+        sel = ys == col_by[None, :]
+
+        def pick(a):
+            return jnp.sum(jnp.where(sel, a, 0), axis=0)
+
+        improve = (x < lengths) & (col_best > best)
+
+        def upd(old, new):
+            return jnp.where(improve, new, old)
+
+        best = upd(best, col_best)
+        bm = upd(bm, pick(c_m))
+        bmm = upd(bmm, pick(c_mm))
+        bg = upd(bg, pick(c_g))
+        bnm = upd(bnm, pick(c_nm))
+        bqs = upd(bqs, pick(c_qs))
+        bts = upd(bts, pick(c_ts))
+        bx = upd(bx, x)
+        by = upd(by, col_by)
+
+        return (cur, c_m, c_mm, c_g, c_nm, c_qs, c_ts, best,
+                bm, bmm, bg, bnm, bqs, bts, bx, by), None
+
+    zhb = jnp.zeros((H, B), jnp.int32)
+    zb = jnp.zeros((B,), jnp.int32)
+    init = (zhb, zhb, zhb, zhb, zhb, zhb, zhb,
+            jnp.full((B,), -10000000, jnp.int32),
+            zb, zb, zb, zb, zb, zb, zb, zb)
+    final, _ = jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
+    (_, _, _, _, _, _, _, best, bm, bmm, bg, bnm, bqs, bts, bx, by) = final
     return {
-        "matches": m,
-        "mismatches": mm,
-        "gaps": g,
-        "neutral": nm,
-        "query_start": qs,
+        "matches": bm,
+        "mismatches": bmm,
+        "gaps": bg,
+        "neutral": bnm,
+        "query_start": bqs,
         "query_end": bx,
-        "target_start": ts,
+        "target_start": bts,
         "target_end": by,
     }
 

@@ -93,15 +93,14 @@ def quality_filter_keep(quals, lengths, *, min_quality: int, min_percent: int):
 
     The reference builds a counting-sort histogram and walks it
     (get_index_of_nth_element); that is exactly "the n-th order statistic"
-    with n = count*(100-p)/100 using integer division."""
-    L = quals.shape[1]
-    big = jnp.int32(1000)
-    masked = jnp.where(_in_len(quals, lengths), quals.astype(jnp.int32), big)
-    srt = jnp.sort(masked, axis=1)
+    with n = count*(100-p)/100 using integer division.  sorted[n] >= q is
+    equivalent to |{quality < q}| <= n, so no sort is needed — one masked
+    count per read."""
+    below = (_in_len(quals, lengths) & (quals < min_quality)).sum(
+        axis=1, dtype=jnp.int32
+    )
     n = (lengths * (100 - min_percent)) // 100
-    n = jnp.clip(n, 0, L - 1)
-    value = jnp.take_along_axis(srt, n[:, None], axis=1)[:, 0]
-    return value >= min_quality
+    return below <= n
 
 
 # ---------------------------------------------------------------------------

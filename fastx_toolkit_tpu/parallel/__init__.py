@@ -1,0 +1,7 @@
+from .mesh import (  # noqa: F401
+    data_mesh,
+    shard_batch,
+    sharded_stats,
+    sharded_pipeline,
+    distributed_init,
+)

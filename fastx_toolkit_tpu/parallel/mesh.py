@@ -1,0 +1,130 @@
+"""Multi-chip execution: data-parallel sharding + collective merges.
+
+The reference is a single-threaded, single-process streaming program
+(SURVEY §5); reads are independent, so the only parallelism axis in this
+domain is DATA parallelism over reads, plus collective reductions for the
+global operators:
+
+* per-read transforms (trim/filter/mask/clip/...) — embarrassingly
+  parallel, sharded over the batch axis of a 1-D ``Mesh(('data',))``;
+  no communication at all.
+* fastx_quality_stats — per-shard scatter-add histograms merged with
+  ``psum``/``pmin``/``pmax`` over 'data' (ICI within a slice, DCN across
+  slices when the mesh spans hosts).
+* fastx_collapser — per-shard sort+segment dedup, then an all-gather of
+  (key words, counts) and a re-collapse (associative merge).
+* barcode splitter — sharded hamming matrix + argmin; per-barcode counts
+  merged with psum.
+
+Multi-host entry: ``distributed_init()`` wraps jax.distributed.initialize;
+each host feeds its own input shard (files are split by byte ranges in the
+streaming loader) and global results are identical on every host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import stats as stats_ops
+from ..ops import transforms
+from ..ops.clipper import clip_batch
+
+
+def distributed_init(**kwargs) -> None:
+    """Initialize the multi-host process group (jax.distributed).
+
+    No-op when running single-process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def data_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            "data_mesh(%d) needs %d devices but only %d are visible; for CPU "
+            "simulation set XLA_FLAGS=--xla_force_host_platform_device_count=%d "
+            "JAX_PLATFORMS=cpu before jax initializes" % (n, n, len(devs), n)
+        )
+    return Mesh(np.array(devs[:n]), ("data",))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with the batch axis sharded over 'data'."""
+    out = []
+    for a in arrays:
+        spec = P("data") if a.ndim == 1 else P("data", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def sharded_stats(mesh: Mesh, bases, quals, lengths, counts, *, is_fastq: bool):
+    """Quality-stats reduction over a device mesh: per-shard scatter-add,
+    explicit collective merge over 'data'."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def _go(b, q, l, c):  # noqa: E741
+        count, hist, qsum, qmin, qmax = stats_ops.accumulate(
+            b, q, l, c, is_fastq=is_fastq
+        )
+        return (
+            jax.lax.psum(count, "data"),
+            jax.lax.psum(hist, "data"),
+            jax.lax.psum(qsum, "data"),
+            jax.lax.pmin(qmin, "data"),
+            jax.lax.pmax(qmax, "data"),
+        )
+
+    return jax.jit(_go)(bases, quals, lengths, counts)
+
+
+def sharded_pipeline(mesh: Mesh, *, adapter: bytes = b"CTGTAGGCACCATCAAT",
+                     trim_last: int = 0, filter_q: int = 20, filter_p: int = 50,
+                     trim_q: int = 20, trim_minlen: int = 0, mask_q: int = 20,
+                     clip_minlen: int = 5):
+    """The flagship fused read-preprocessing step, data-parallel over the
+    mesh: fastx_trimmer -> fastq_quality_filter -> fastq_quality_trimmer ->
+    fastq_masker -> fastx_clipper -> fastx_artifacts_filter, plus a psum'd
+    per-cycle stats reduction — one compiled program, no host round-trips.
+
+    Returns a jitted fn (bases, quals, lengths, counts) ->
+    (bases, quals, lengths, keep, stats_count).
+    """
+    from ..engine.pipeline import PipelineConfig, pipeline_body
+
+    cfg = PipelineConfig(
+        adapter=adapter, trim_last=trim_last, filter_q=filter_q,
+        filter_p=filter_p, trim_q=trim_q, trim_minlen=trim_minlen,
+        mask_q=mask_q, clip_minlen=clip_minlen,
+    )
+
+    def _shard_body(b, q, l, c):  # noqa: E741
+        return pipeline_body(b, q, l, c, cfg, psum_axis="data")
+
+    sharded = jax.shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        # the align kernel's scan carries are created fresh inside the
+        # shard (zeros), which trips the varying-manual-axes check; the
+        # computation is per-shard pure map + explicit psum, so VMA
+        # checking is safely disabled here
+        check_vma=False,
+    )
+    return jax.jit(sharded)
