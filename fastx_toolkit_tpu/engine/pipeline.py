@@ -101,3 +101,24 @@ def fused_pipeline(cfg: PipelineConfig):
         return pipeline_body(bases, quals, lengths, counts, cfg)
 
     return jax.jit(step)
+
+
+def decisions_pipeline(cfg: PipelineConfig):
+    """Ship decisions, not data: same fused step but returning ONLY small
+    per-read scalars (final length, keep mask, per-cycle counts).
+
+    Rationale: every byte-level edit of this pipeline (the masker's
+    N-substitutions) is recomputable on host in one vectorized pass from
+    data the host already holds, while the expensive decisions (alignment
+    cutoff, filters, trim lengths) need the device.  Returning 5 bytes per
+    read instead of the 2 x L transformed tensors makes the device->host
+    link (PCIe, or worse a tunnel) a non-factor.  The host renderer
+    applies ``quals < mask_q`` masking itself (see render path in bench.py
+    and the CLI masker).
+    """
+
+    def step(bases, quals, lengths, counts):
+        _b, _q, l, keep, count = pipeline_body(bases, quals, lengths, counts, cfg)  # noqa: E741
+        return l, keep, count
+
+    return jax.jit(step)
