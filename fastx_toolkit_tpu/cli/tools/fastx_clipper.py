@@ -84,6 +84,19 @@ def tool_main(ctx: CliContext, argv) -> int:
         keep_delta += len(st["adapter"])
 
     batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+
+    if st["debug"] > 0:
+        # -D debug output (fastx_clipper.cpp:272-275): per-record matrix
+        # (-DD) and alignment results, via the oracle printers
+        from ...kernels import align as align_dbg
+
+        adapter_b = st["adapter"].encode()
+        for i in range(len(batch)):
+            seq = bytes(np.asarray(batch.bases)[i, : int(batch.lengths[i])])
+            if st["debug"] > 1:
+                ctx.stdout_text.write(align_dbg.format_matrix(seq, adapter_b))
+            ctx.stdout_text.write(align_dbg.format_results(seq, adapter_b))
+
     (bases, quals, lengths, counts), nb = to_device(batch)
     b2, q2, l2, write, cat = clipper.clip_batch_jit(
         bases, quals, lengths,

@@ -19,6 +19,7 @@ import numpy as np
 
 from .errors import FastxError
 from .records import ReadBatch, StringColumn
+from . import native
 
 FASTA_ONLY = "fasta_only"
 FASTQ_ONLY = "fastq_only"
@@ -240,11 +241,24 @@ def parse(
     bad_hdr = hdr_first != prefix
     # ---- sequence-line checks ----
     seq_lens = lens[seq_idx]
-    seq_mat = _gather_padded(buf, starts[seq_idx], seq_lens)
-    w = seq_mat.shape[1]
+    w = int(seq_lens.max()) if nrec else 0
+    seq_starts = np.ascontiguousarray(starts[seq_idx])
+    seq_lens_c = np.ascontiguousarray(seq_lens)
+    if native.LIB is not None and nrec:
+        seq_mat = native.gather_rows(buf, seq_starts, seq_lens_c, w)
+        first_invalid = native.validate_rows(
+            buf, seq_starts, seq_lens_c, allowed.astype(np.uint8)
+        )
+        seq_ok = np.ones(nrec, bool)
+        if first_invalid >= 0:
+            seq_ok[first_invalid] = False
+    else:
+        seq_mat = _gather_padded(buf, seq_starts, seq_lens_c)
+        col0 = np.arange(max(w, 1), dtype=np.int64)[:w]
+        in_len0 = col0[None, :] < seq_lens[:, None]
+        seq_ok = np.where(in_len0, allowed[seq_mat], True).all(axis=1)
     col = np.arange(max(w, 1), dtype=np.int64)[:w]
     in_len = col[None, :] < seq_lens[:, None]
-    seq_ok = np.where(in_len, allowed[seq_mat], True).all(axis=1)
     empty_seq = seq_lens == 0
     bad_seq = (~seq_ok) | empty_seq
 
@@ -283,18 +297,20 @@ def parse(
 
         q_lens = lens[q_idx]
         qual_ascii = q_lens == seq_lens
-        # ASCII path (vectorized)
-        q_mat = _gather_padded(buf, starts[q_idx], np.where(qual_ascii, q_lens, 0), width=w)
-        qv = q_mat.astype(np.int32) - q_offset
-        in_qlen = in_len & qual_ascii[:, None]
-        bad_q = in_qlen & ((qv < MIN_QUALITY_VALUE) | (qv > MAX_QUALITY_VALUE))
-        # numeric path (rare, per-line)
+        q_starts = np.ascontiguousarray(starts[q_idx])
+        ql_eff = np.ascontiguousarray(np.where(qual_ascii, q_lens, 0))
         numeric_rows = np.flatnonzero(~qual_ascii)
-        bad_q_rows = bad_q.any(axis=1)
-        first_bad = None
-        if bad_q_rows.any():
-            first_bad = int(np.argmax(bad_q_rows))
-        qvals = np.where(in_qlen, qv, 0).astype(np.int16)
+        if native.LIB is not None:
+            qvals, fb = native.quals_from_ascii(buf, q_starts, ql_eff, w, q_offset)
+            first_bad = fb if fb >= 0 else None
+        else:
+            q_mat = _gather_padded(buf, q_starts, ql_eff, width=w)
+            qv = q_mat.astype(np.int32) - q_offset
+            in_qlen = in_len & qual_ascii[:, None]
+            bad_q = in_qlen & ((qv < MIN_QUALITY_VALUE) | (qv > MAX_QUALITY_VALUE))
+            bad_q_rows = bad_q.any(axis=1)
+            first_bad = int(np.argmax(bad_q_rows)) if bad_q_rows.any() else None
+            qvals = np.where(in_qlen, qv, 0).astype(np.int16)
         for i in numeric_rows:
             if first_bad is not None and i > first_bad:
                 break
@@ -306,8 +322,12 @@ def parse(
             )
         if first_bad is not None:
             i = first_bad
-            j = int(np.argmax(bad_q[i]))
-            ch = int(buf[starts[q_idx[i]] + j])
+            row = buf[q_starts[i] : q_starts[i] + ql_eff[i]].astype(np.int32)
+            badpos = (row - q_offset < MIN_QUALITY_VALUE) | (
+                row - q_offset > MAX_QUALITY_VALUE
+            )
+            j = int(np.argmax(badpos))
+            ch = int(row[j])
             raise FastxError(
                 "Invalid quality score value (char '%c' ord %d quality value %d) on line %d"
                 % (chr(ch), ch, ch - q_offset, lineno(q_idx[i]))
@@ -416,8 +436,33 @@ def render(
     if n == 0:
         return b""
     seq_lens = np.asarray(batch.lengths, dtype=np.int64)
-    seq_mat = np.asarray(batch.bases, dtype=np.uint8)
+    seq_mat = np.ascontiguousarray(batch.bases, dtype=np.uint8)
     w = seq_mat.shape[1]
+
+    # ---- native fast paths ----
+    if native.LIB is not None:
+        lens32 = np.ascontiguousarray(batch.lengths, dtype=np.int32)
+        if not out_fastq:
+            return native.render_fasta(
+                seq_mat, lens32, batch.names.buf, batch.names.offs
+            )
+        ascii_all = (
+            bool(ascii_qual) if np.isscalar(ascii_qual) else bool(np.asarray(ascii_qual).all())
+        )
+        if ascii_all:
+            quals8 = np.ascontiguousarray(batch.quals, dtype=np.int8)
+            if quals8.shape != seq_mat.shape:
+                qq = np.zeros_like(seq_mat, dtype=np.int8)
+                cw = min(quals8.shape[1], w)
+                qq[:, :cw] = quals8[:, :cw]
+                quals8 = qq
+            n2 = batch.names2 if batch.names2 is not None else StringColumn(
+                np.zeros(0, np.uint8), np.zeros(n + 1, np.int64)
+            )
+            return native.render_fastq(
+                seq_mat, quals8, lens32, batch.names.buf, batch.names.offs,
+                n2.buf, n2.offs, q_offset,
+            )
 
     name_mat, name_lens = batch.names.padded()
     name_lens = name_lens.astype(np.int64)

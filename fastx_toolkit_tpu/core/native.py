@@ -1,0 +1,135 @@
+"""ctypes loader for the native codec hot loops (native/fastx_codec.cpp).
+
+Builds the shared library on first use if a compiler is available and the
+.so is missing/stale; every caller must handle ``LIB is None`` with the
+numpy fallback, so environments without a toolchain still work.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "fastx_codec.cpp")
+_SO = os.path.join(_ROOT, "native", "libfastx_codec.so")
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i8p = ctypes.POINTER(ctypes.c_int8)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    if not os.path.exists(_SRC):
+        return None
+    if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.fx_gather_rows.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                   ctypes.c_int64, _u8p, ctypes.c_int]
+    lib.fx_validate_rows.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64, _u8p]
+    lib.fx_validate_rows.restype = ctypes.c_int64
+    lib.fx_quals_from_ascii.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int, _i8p,
+                                        ctypes.c_int]
+    lib.fx_quals_from_ascii.restype = ctypes.c_int64
+    lib.fx_fastq_sizes.argtypes = [_i64p, _i64p, _i32p, ctypes.c_int64, _i64p]
+    lib.fx_fasta_sizes.argtypes = [_i64p, _i32p, ctypes.c_int64, _i64p]
+    lib.fx_render_fastq.argtypes = [_u8p, _i8p, _i32p, ctypes.c_int64,
+                                    ctypes.c_int64, _u8p, _i64p, _u8p, _i64p,
+                                    _i64p, ctypes.c_int, _u8p, ctypes.c_int]
+    lib.fx_render_fasta.argtypes = [_u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
+                                    _u8p, _i64p, _i64p, _u8p, ctypes.c_int]
+    return lib
+
+
+LIB = _load()
+
+
+def ptr(a: np.ndarray, t):
+    return a.ctypes.data_as(t)
+
+
+def gather_rows(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                width: int) -> np.ndarray:
+    n = len(starts)
+    out = np.empty((n, width), np.uint8)
+    LIB.fx_gather_rows(
+        ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p), n, width,
+        ptr(out, _u8p), 0,
+    )
+    return out
+
+
+def validate_rows(buf, starts, lens, allowed_u8) -> int:
+    return int(
+        LIB.fx_validate_rows(
+            ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p), len(starts),
+            ptr(allowed_u8, _u8p),
+        )
+    )
+
+
+def quals_from_ascii(buf, starts, lens, width, q_offset):
+    n = len(starts)
+    out = np.empty((n, width), np.int8)
+    bad = LIB.fx_quals_from_ascii(
+        ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p), n, width,
+        q_offset, ptr(out, _i8p), 0,
+    )
+    return out, int(bad)
+
+
+def render_fastq(bases, quals, lens, name_buf, name_offs, name2_buf,
+                 name2_offs, q_offset) -> bytes:
+    n = bases.shape[0]
+    width = bases.shape[1]
+    name_lens = np.diff(name_offs)
+    name2_lens = np.diff(name2_offs)
+    sizes = 6 + name_lens + name2_lens + 2 * lens.astype(np.int64)
+    rec_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=rec_offs[1:])
+    out = np.empty(rec_offs[-1], np.uint8)
+    LIB.fx_render_fastq(
+        ptr(bases, _u8p), ptr(quals, _i8p), ptr(lens, _i32p), n, width,
+        ptr(name_buf, _u8p), ptr(name_offs, _i64p),
+        ptr(name2_buf, _u8p), ptr(name2_offs, _i64p),
+        ptr(rec_offs, _i64p), q_offset, ptr(out, _u8p), 0,
+    )
+    return out.tobytes()
+
+
+def render_fasta(bases, lens, name_buf, name_offs) -> bytes:
+    n = bases.shape[0]
+    width = bases.shape[1]
+    name_lens = np.diff(name_offs)
+    sizes = 3 + name_lens + lens.astype(np.int64)
+    rec_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=rec_offs[1:])
+    out = np.empty(rec_offs[-1], np.uint8)
+    LIB.fx_render_fasta(
+        ptr(bases, _u8p), ptr(lens, _i32p), n, width,
+        ptr(name_buf, _u8p), ptr(name_offs, _i64p), ptr(rec_offs, _i64p),
+        ptr(out, _u8p), 0,
+    )
+    return out.tobytes()

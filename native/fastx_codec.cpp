@@ -1,0 +1,189 @@
+// Native host codec hot loops for fastx_toolkit_tpu.
+//
+// The Python/numpy codec (fastx_toolkit_tpu/core/codec.py) does record
+// framing and validation vectorized, but the two memory-movement loops --
+// scattering variable-length lines into padded [B, W] matrices and
+// assembling the final FASTA/FASTQ byte stream -- are fancy-indexing
+// bound in numpy.  These are plain memcpy loops in C++, parallelized
+// over record ranges (each record's output span is precomputed, so
+// threads never touch overlapping bytes).
+//
+// Built as a plain shared library (no pybind11); called via ctypes with
+// raw pointers from numpy arrays.  The reference's analogous code is the
+// fgets/fprintf record loop in /root/reference/src/libfastx/fastx.c
+// (fastx_read_next_record / fastx_write_record).
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline int pick_threads(int64_t n, int requested) {
+  int hw = (int)std::thread::hardware_concurrency();
+  int t = requested > 0 ? requested : (hw > 0 ? hw : 1);
+  if (n < 4096) t = 1;
+  return t;
+}
+
+template <typename F>
+void parallel_ranges(int64_t n, int nthreads, F&& body) {
+  if (nthreads <= 1) {
+    body((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int i = 0; i < nthreads; i++) {
+    int64_t s = i * chunk;
+    int64_t e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([&, s, e] { body(s, e); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scatter variable-length byte slices into a zero-padded [n, width]
+// matrix.
+void fx_gather_rows(const uint8_t* buf, const int64_t* starts,
+                    const int64_t* lens, int64_t n, int64_t width,
+                    uint8_t* out, int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      uint8_t* dst = out + i * width;
+      int64_t len = lens[i];
+      if (len > width) len = width;
+      memcpy(dst, buf + starts[i], (size_t)len);
+      memset(dst + len, 0, (size_t)(width - len));
+    }
+  });
+}
+
+// Validate sequence bytes against an allowed[256] table; returns the
+// index of the first invalid record, or -1.  Rows are (starts, lens)
+// into buf.
+int64_t fx_validate_rows(const uint8_t* buf, const int64_t* starts,
+                         const int64_t* lens, int64_t n,
+                         const uint8_t* allowed) {
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* p = buf + starts[i];
+    int64_t len = lens[i];
+    for (int64_t j = 0; j < len; j++) {
+      if (!allowed[p[j]]) return i;
+    }
+  }
+  return -1;
+}
+
+// ASCII quality line -> numeric values, with range check.
+// Returns -1 on success, else the failing record index.
+int64_t fx_quals_from_ascii(const uint8_t* buf, const int64_t* starts,
+                            const int64_t* lens, int64_t n, int64_t width,
+                            int q_offset, int8_t* out, int nthreads) {
+  std::vector<int64_t> bad((size_t)pick_threads(n, nthreads), -1);
+  int nt = pick_threads(n, nthreads);
+  std::vector<int64_t> bads(nt, -1);
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t s = t * chunk;
+    int64_t e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([&, t, s, e] {
+      for (int64_t i = s; i < e; i++) {
+        const uint8_t* p = buf + starts[i];
+        int8_t* dst = out + i * width;
+        int64_t len = lens[i];
+        if (len > width) len = width;
+        for (int64_t j = 0; j < len; j++) {
+          int v = (int)p[j] - q_offset;
+          if (v < -15 || v > 93) {
+            if (bads[t] < 0 || i < bads[t]) bads[t] = i;
+            v = 0;
+          }
+          dst[j] = (int8_t)v;
+        }
+        memset(dst + len, 0, (size_t)(width - len));
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  int64_t first = -1;
+  for (int t = 0; t < nt; t++)
+    if (bads[t] >= 0 && (first < 0 || bads[t] < first)) first = bads[t];
+  return first;
+}
+
+// Per-record output sizes for FASTQ rendering (ASCII quals):
+// 1 + name + 1 + len + 1 + 1 + name2 + 1 + len + 1
+void fx_fastq_sizes(const int64_t* name_lens, const int64_t* name2_lens,
+                    const int32_t* lens, int64_t n, int64_t* out_sizes) {
+  for (int64_t i = 0; i < n; i++)
+    out_sizes[i] = 6 + name_lens[i] + name2_lens[i] + 2 * (int64_t)lens[i];
+}
+
+void fx_fasta_sizes(const int64_t* name_lens, const int32_t* lens, int64_t n,
+                    int64_t* out_sizes) {
+  for (int64_t i = 0; i < n; i++)
+    out_sizes[i] = 3 + name_lens[i] + (int64_t)lens[i];
+}
+
+// Assemble FASTQ bytes.  rec_offs[i] is the output offset of record i
+// (exclusive cumsum of fx_fastq_sizes), so threads write disjoint spans.
+void fx_render_fastq(const uint8_t* bases, const int8_t* quals,
+                     const int32_t* lens, int64_t n, int64_t width,
+                     const uint8_t* name_buf, const int64_t* name_offs,
+                     const uint8_t* name2_buf, const int64_t* name2_offs,
+                     const int64_t* rec_offs, int q_offset, uint8_t* out,
+                     int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      uint8_t* p = out + rec_offs[i];
+      int64_t len = lens[i];
+      *p++ = '@';
+      int64_t nl = name_offs[i + 1] - name_offs[i];
+      memcpy(p, name_buf + name_offs[i], (size_t)nl);
+      p += nl;
+      *p++ = '\n';
+      memcpy(p, bases + i * width, (size_t)len);
+      p += len;
+      *p++ = '\n';
+      *p++ = '+';
+      int64_t n2 = name2_offs[i + 1] - name2_offs[i];
+      memcpy(p, name2_buf + name2_offs[i], (size_t)n2);
+      p += n2;
+      *p++ = '\n';
+      const int8_t* q = quals + i * width;
+      for (int64_t j = 0; j < len; j++) p[j] = (uint8_t)(q[j] + q_offset);
+      p += len;
+      *p++ = '\n';
+    }
+  });
+}
+
+void fx_render_fasta(const uint8_t* bases, const int32_t* lens, int64_t n,
+                     int64_t width, const uint8_t* name_buf,
+                     const int64_t* name_offs, const int64_t* rec_offs,
+                     uint8_t* out, int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      uint8_t* p = out + rec_offs[i];
+      int64_t len = lens[i];
+      *p++ = '>';
+      int64_t nl = name_offs[i + 1] - name_offs[i];
+      memcpy(p, name_buf + name_offs[i], (size_t)nl);
+      p += nl;
+      *p++ = '\n';
+      memcpy(p, bases + i * width, (size_t)len);
+      p += len;
+      *p++ = '\n';
+    }
+  });
+}
+
+}  // extern "C"

@@ -1,0 +1,90 @@
+"""Tests for the plotting scripts, seqalign_test and the galaxy wrapper."""
+
+import io
+import os
+import subprocess
+import sys
+
+import pytest
+
+from util import fixture, run_tool, TEST_DATA
+
+
+def test_seqalign_test_output():
+    from fastx_toolkit_tpu.cli.tools import seqalign_test
+
+    r = run_tool(seqalign_test, [])
+    assert r.status == 0
+    assert "Score-Matrix:" in r.report
+    assert "Query-Alingment" in r.report  # the reference's typo, kept
+
+
+def test_boxplot_png(tmp_path):
+    from fastx_toolkit_tpu.cli.tools import fastx_quality_stats
+    from fastx_toolkit_tpu.scripts import quality_boxplot
+
+    stats = run_tool(fastx_quality_stats, ["-Q", "64"], fixture("fastq_stats1.fastq"))
+    statf = tmp_path / "stats.txt"
+    statf.write_bytes(stats.stdout)
+    out = tmp_path / "plot.png"
+    rc = quality_boxplot.main_io(["-i", str(statf), "-t", "test", "-o", str(out)])
+    assert rc == 0
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_boxplot_rejects_fastq(tmp_path, capsys):
+    from fastx_toolkit_tpu.scripts import quality_boxplot
+
+    f = tmp_path / "x.fastq"
+    f.write_bytes(fixture("fastq_stats1.fastq"))
+    rc = quality_boxplot.main_io(["-i", str(f)])
+    assert rc == 1
+
+
+def test_nucdist_png(tmp_path):
+    from fastx_toolkit_tpu.cli.tools import fastx_quality_stats
+    from fastx_toolkit_tpu.scripts import nucleotide_distribution
+
+    stats = run_tool(fastx_quality_stats, ["-Q", "64"], fixture("fastq_stats1.fastq"))
+    statf = tmp_path / "stats.txt"
+    statf.write_bytes(stats.stdout)
+    out = tmp_path / "plot.png"
+    rc = nucleotide_distribution.main_io(
+        ["-i", str(statf), "-o", str(out)], line_graph=False, prog="t")
+    assert rc == 0
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+    stats_new = run_tool(
+        fastx_quality_stats, ["-Q", "64", "-N"], fixture("fastq_stats1.fastq"))
+    statf.write_bytes(stats_new.stdout)
+    rc = nucleotide_distribution.main_io(
+        ["-i", str(statf), "-o", str(out)], line_graph=True, prog="t")
+    assert rc == 0
+
+
+def test_clipping_histogram_png(tmp_path):
+    from fastx_toolkit_tpu.scripts import clipping_histogram
+
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(fixture("fasta_collapser1.out"))
+    out = tmp_path / "hist.png"
+    rc = clipping_histogram.main_io([str(fa), str(out)])
+    assert rc == 0
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_galaxy_barcode_wrapper(tmp_path):
+    env = dict(os.environ, PYTHONPATH="/root/.axon_site:/root/repo")
+    fastq = tmp_path / "in.fastq"
+    fastq.write_bytes(fixture("fastx_barcode_splitter1.fastq"))
+    outdir = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "galaxy/fastx_barcode_splitter_galaxy_wrapper.py",
+         os.path.join(TEST_DATA, "fastx_barcode_splitter1.txt"),
+         str(fastq), "testlib", str(outdir), "--bol", "--mismatches", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "<html><body><table border=1>" in r.stdout
+    assert "BC1</td><td>11" in r.stdout.replace("\n", "")
+    assert (outdir / "testlib__BC1.txt").exists()
