@@ -6,11 +6,31 @@ fastx_clipper.cpp:159-241) + the clip/discard cascade (:282-319).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..kernels.align import align_batch
+from ..kernels.align_pallas import align_batch_pallas
 from . import transforms
+
+
+def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
+    """Pick the Pallas kernel on TPU-class backends (3x the XLA scan
+    version); fall back to the jnp engine on CPU or for batches too small
+    to tile (results are bit-identical either way)."""
+    B = bases.shape[0]
+    platform = jax.devices()[0].platform
+    use_pallas = (
+        platform in ("tpu", "axon")
+        and not os.environ.get("FASTX_TPU_NO_PALLAS")
+        and B % 1024 == 0
+    )
+    if use_pallas:
+        tile = 2048 if B % 2048 == 0 else 1024
+        return align_batch_pallas(bases, lengths, adapter, tile_b=tile)
+    return align_batch(bases, lengths, adapter)
 
 
 def adapter_cutoff_index(res, lengths, *, min_adapter_len: int):
@@ -43,7 +63,7 @@ def clip_batch(bases, quals, lengths, *, adapter: bytes, min_length: int,
     4=clipped(-C), 5=contains-N.  With -k, adapter-at-zero reads are
     written instead of the normal survivors (fastx_clipper.cpp:288-319).
     """
-    res = align_batch(bases, lengths, adapter)
+    res = _align_dispatch(bases, quals, lengths, adapter)
     i = adapter_cutoff_index(res, lengths, min_adapter_len=min_adapter_len)
 
     # keep_delta already includes len(adapter) when > 0 (parse_commandline,

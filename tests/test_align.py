@@ -95,3 +95,27 @@ def test_random_large_batch():
     adapter = b"CAATTGGTTAATCCCCCTATATA"
     reads = [bytes(rng.choice(alpha, size=int(rng.integers(10, 100)))) for _ in range(300)]
     _check(reads, adapter)
+
+
+def test_pallas_interpret_matches_jnp():
+    """The Pallas kernel (interpret mode on CPU) must be bit-identical to
+    the jnp engine."""
+    from fastx_toolkit_tpu.kernels.align_pallas import align_batch_pallas
+
+    rng = np.random.default_rng(7)
+    B, L = 128, 24
+    adapter = b"CCTTAAGG"
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    bases = rng.choice(alpha, size=(B, L), p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    lengths = rng.integers(4, L + 1, B).astype(np.int32)
+    cols = np.arange(L)
+    bases[cols[None, :] >= lengths[:, None]] = 0
+    ref = {k: np.asarray(v) for k, v in align.align_batch(bases, lengths, adapter).items()}
+    out = {
+        k: np.asarray(v)
+        for k, v in align_batch_pallas(
+            bases, lengths, adapter, tile_b=128, interpret=True
+        ).items()
+    }
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], out[k], err_msg=k)

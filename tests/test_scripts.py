@@ -74,7 +74,13 @@ def test_clipping_histogram_png(tmp_path):
 
 
 def test_galaxy_barcode_wrapper(tmp_path):
-    env = dict(os.environ, PYTHONPATH="/root/.axon_site:/root/repo")
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/.axon_site:/root/repo",
+        # run the subprocess on CPU: tests must not pay TPU-tunnel compiles
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+    )
     fastq = tmp_path / "in.fastq"
     fastq.write_bytes(fixture("fastx_barcode_splitter1.fastq"))
     outdir = tmp_path / "out"
