@@ -91,14 +91,13 @@ def run_once(data: bytes, fn, cfg) -> tuple[int, bytes]:
         new_len[s:e] = np.asarray(l)[:nb]
         keep[s:e] = np.asarray(k)[:nb]
 
-    # host-side byte edits: the masker's N substitutions (qual < mask_q
-    # within the final length)
-    col = np.arange(batch.width)
-    m = (batch.quals < cfg.mask_q) & (col[None, :] < new_len[:, None])
-    batch.bases = np.where(m, np.uint8(ord("N")), batch.bases)
+    # the masker's byte edits and the keep-filter are fused into the
+    # native render loop (zero extra passes)
     batch.lengths = new_len
-    kept = batch.select(keep)
-    payload = codec.render(kept, out_fastq=True, ascii_qual=True, q_offset=33)
+    payload = codec.render(
+        batch, out_fastq=True, ascii_qual=True, q_offset=33,
+        keep=keep, mask_thr=cfg.mask_q,
+    )
     return n, payload
 
 

@@ -52,25 +52,30 @@ def tool_main(ctx: CliContext, argv) -> int:
             st["r"] = arg
 
     args = common.parse_cmdline(ctx, argv, "q:r:", cb, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTQ_ONLY)
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    b2, masked_any, masked_nucs = _mask_jit(
-        bases, quals, lengths, threshold=st["q"], mask_char=ord(st["r"])
-    )
-    batch.bases = np.asarray(b2)[:nb]
-    _shared.write_same_as_input(ctx, args, batch)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
+    writer = common.OutputWriter(ctx, args)
+    n_in = masked_reads = masked_nucs_total = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        b2, masked_any, masked_nucs = _mask_jit(
+            bases, quals, lengths, threshold=st["q"], mask_char=ord(st["r"])
+        )
+        batch.bases = np.asarray(b2)[:nb]
+        n_in += int(batch.counts.sum())
+        masked_reads += int(
+            (np.asarray(masked_any)[:nb] * np.asarray(batch.counts)).sum()
+        )
+        masked_nucs_total += int(np.asarray(masked_nucs)[:nb].sum())
+        writer.write(_shared.render_same_as_input(args, batch))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
         rep.write("Minimum Quality Threshold: %d\n" % st["q"])
         rep.write("Low-quality nucleotides replaced with '%s'\n" % st["r"])
-        n_in = int(batch.counts.sum())
         _shared.in_out_report(rep, n_in, n_in)
-        masked_reads = int(
-            (np.asarray(masked_any)[:nb] * np.asarray(batch.counts)).sum()
-        )
         rep.write("Masked reads: %d\n" % masked_reads)
-        rep.write("Masked nucleotides: %d\n" % int(np.asarray(masked_nucs)[:nb].sum()))
+        rep.write("Masked nucleotides: %d\n" % masked_nucs_total)
     return 0
 
 

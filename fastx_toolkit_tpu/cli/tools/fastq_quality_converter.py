@@ -36,16 +36,20 @@ def tool_main(ctx: CliContext, argv) -> int:
             st["ascii"] = False
 
     args = common.parse_cmdline(ctx, argv, "an", cb, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTQ_ONLY)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
     writer = common.OutputWriter(ctx, args)
-    writer.write(
-        codec.render(batch, out_fastq=True, ascii_qual=st["ascii"], q_offset=args.q_offset)
-    )
+    n = 0
+    for batch in reader:
+        n += int(batch.counts.sum())
+        writer.write(
+            codec.render(
+                batch, out_fastq=True, ascii_qual=st["ascii"], q_offset=args.q_offset
+            )
+        )
     writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
-        n = int(batch.counts.sum())
         _shared.in_out_report(rep, n, n)
     return 0
 

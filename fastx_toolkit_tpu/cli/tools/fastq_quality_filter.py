@@ -51,20 +51,24 @@ def tool_main(ctx: CliContext, argv) -> int:
                 errx(ctx, "Invalid percent value (-p %s)" % arg)
 
     args = common.parse_cmdline(ctx, argv, "q:p:", cb, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTQ_ONLY)
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    keep = np.asarray(
-        _keep_jit(quals, lengths, min_quality=st["q"], min_percent=st["p"])
-    )[:nb]
-    out = batch.select(keep)
-    _shared.write_same_as_input(ctx, args, out)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
+    writer = common.OutputWriter(ctx, args)
+    n_in = n_out = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        keep = np.asarray(
+            _keep_jit(quals, lengths, min_quality=st["q"], min_percent=st["p"])
+        )[:nb]
+        out = batch.select(keep)
+        n_in += int(batch.counts.sum())
+        n_out += int(out.counts.sum())
+        writer.write(_shared.render_same_as_input(args, out))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
         rep.write("Quality cut-off: %d\n" % st["q"])
         rep.write("Minimum percentage: %d\n" % st["p"])
-        n_in = int(batch.counts.sum())
-        n_out = int(out.counts.sum())
         _shared.in_out_report(rep, n_in, n_out)
         discarded = n_in - n_out
         rep.write(

@@ -54,15 +54,22 @@ def tool_main(ctx: CliContext, argv) -> int:
     if st["t"] == 0:
         errx(ctx, "Missing minimum quality threshold value (-t)")
 
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTQ_ONLY)
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    b2, q2, l2, keep = _trim_jit(bases, quals, lengths, threshold=st["t"], min_len=st["l"])
-    batch.bases = np.asarray(b2)[:nb]
-    batch.quals = np.asarray(q2)[:nb]
-    n_in = int(batch.counts.sum())
-    batch.lengths = np.asarray(l2)[:nb]
-    out = batch.select(np.asarray(keep)[:nb])
-    _shared.write_same_as_input(ctx, args, out)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
+    writer = common.OutputWriter(ctx, args)
+    n_in = n_out = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        b2, q2, l2, keep = _trim_jit(
+            bases, quals, lengths, threshold=st["t"], min_len=st["l"]
+        )
+        n_in += int(batch.counts.sum())
+        batch.bases = np.asarray(b2)[:nb]
+        batch.quals = np.asarray(q2)[:nb]
+        batch.lengths = np.asarray(l2)[:nb]
+        out = batch.select(np.asarray(keep)[:nb])
+        n_out += int(out.counts.sum())
+        writer.write(_shared.render_same_as_input(args, out))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
@@ -71,7 +78,6 @@ def tool_main(ctx: CliContext, argv) -> int:
             rep.write("Minimum Length: %d\n" % st["l"])
         else:
             rep.write("No minimum Length\n")
-        n_out = int(out.counts.sum())
         _shared.in_out_report(rep, n_in, n_out)
         discarded = n_in - n_out
         rep.write(

@@ -13,12 +13,12 @@ import jax
 import numpy as np
 
 from ...core import codec
-from ...core.errors import FastxError
 from ...core.records import StringColumn
 from ...engine.pipeline import to_device
 from ...ops import transforms
 from .. import common
-from ..common import CliContext, ExitWithStatus, errx
+from ..common import CliContext
+from . import _shared
 
 USAGE = (
     "usage: fastq_to_fasta [-h] [-r] [-n] [-v] [-z] [-i INFILE] [-o OUTFILE]\n"
@@ -51,31 +51,24 @@ def tool_main(ctx: CliContext, argv) -> int:
             state["rename"] = True
 
     args = common.parse_cmdline(ctx, argv, "rn", cb, USAGE)
-    data = common.read_input(ctx, args)
-    batch = codec.parse(
-        data,
-        filetype=codec.FASTQ_ONLY,
-        allow_n=True,
-        q_offset=args.q_offset,
-        input_name=args.input_filename,
-    )
-
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    keep = np.asarray(_keep_jit(bases, lengths, discard_n=state["discard_n"]))[:nb]
-
-    out = batch.select(keep)
-    if state["rename"]:
-        out.names = StringColumn.from_list(
-            [b"%d" % (i + 1) for i in range(len(out))]
-        )
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
     writer = common.OutputWriter(ctx, args)
-    writer.write(codec.render(out, out_fastq=False))
+    n_in = n_out = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        keep = np.asarray(_keep_jit(bases, lengths, discard_n=state["discard_n"]))[:nb]
+        out = batch.select(keep)
+        if state["rename"]:
+            out.names = StringColumn.from_list(
+                [b"%d" % (n_out + i + 1) for i in range(len(out))]
+            )
+        n_in += int(batch.counts.sum())
+        n_out += int(out.counts.sum())
+        writer.write(codec.render(out, out_fastq=False))
     writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
-        n_in = int(batch.counts.sum())
-        n_out = int(out.counts.sum())
         rep.write("Input: %d reads.\n" % n_in)
         rep.write("Output: %d reads.\n" % n_out)
         if state["discard_n"]:

@@ -37,16 +37,20 @@ _keep_jit = jax.jit(transforms.artifacts_keep)
 
 def tool_main(ctx: CliContext, argv) -> int:
     args = common.parse_cmdline(ctx, argv, "", None, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    keep = np.asarray(_keep_jit(bases, lengths))[:nb]
-    out = batch.select(keep)
-    _shared.write_same_as_input(ctx, args, out)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    writer = common.OutputWriter(ctx, args)
+    n_in = n_out = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        keep = np.asarray(_keep_jit(bases, lengths))[:nb]
+        out = batch.select(keep)
+        n_in += int(batch.counts.sum())
+        n_out += int(out.counts.sum())
+        writer.write(_shared.render_same_as_input(args, out))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
-        n_in = int(batch.counts.sum())
-        n_out = int(out.counts.sum())
         _shared.in_out_report(rep, n_in, n_out)
         discarded = n_in - n_out
         rep.write(

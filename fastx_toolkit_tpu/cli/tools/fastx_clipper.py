@@ -83,48 +83,51 @@ def tool_main(ctx: CliContext, argv) -> int:
     if keep_delta > 0:
         keep_delta += len(st["adapter"])
 
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    writer = common.OutputWriter(ctx, args)
+    n_in = n_zero = n_short = n_nonclip = n_clip = n_n = 0
+    for batch in reader:
+        if st["debug"] > 0:
+            # -D debug output (fastx_clipper.cpp:272-275): per-record
+            # matrix (-DD) and alignment results, via the oracle printers
+            from ...kernels import align as align_dbg
 
-    if st["debug"] > 0:
-        # -D debug output (fastx_clipper.cpp:272-275): per-record matrix
-        # (-DD) and alignment results, via the oracle printers
-        from ...kernels import align as align_dbg
+            adapter_b = st["adapter"].encode()
+            for i in range(len(batch)):
+                seq = bytes(np.asarray(batch.bases)[i, : int(batch.lengths[i])])
+                if st["debug"] > 1:
+                    ctx.stdout_text.write(align_dbg.format_matrix(seq, adapter_b))
+                ctx.stdout_text.write(align_dbg.format_results(seq, adapter_b))
 
-        adapter_b = st["adapter"].encode()
-        for i in range(len(batch)):
-            seq = bytes(np.asarray(batch.bases)[i, : int(batch.lengths[i])])
-            if st["debug"] > 1:
-                ctx.stdout_text.write(align_dbg.format_matrix(seq, adapter_b))
-            ctx.stdout_text.write(align_dbg.format_results(seq, adapter_b))
-
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    b2, q2, l2, write, cat = clipper.clip_batch_jit(
-        bases, quals, lengths,
-        adapter=st["adapter"].encode(),
-        min_length=st["min_length"],
-        keep_delta=keep_delta,
-        discard_non_clipped=st["discard_non_clipped"],
-        discard_clipped=st["discard_clipped"],
-        keep_n=not st["discard_n"],
-        show_adapter_only=st["show_adapter_only"],
-        min_adapter_len=st["min_adapter"],
-    )
-    batch.bases = np.asarray(b2)[:nb]
-    batch.quals = np.asarray(q2)[:nb]
-    batch.lengths = np.asarray(l2)[:nb]
-    cat = np.asarray(cat)[:nb]
-    out = batch.select(np.asarray(write)[:nb])
-    _shared.write_same_as_input(ctx, args, out)
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        b2, q2, l2, write, cat = clipper.clip_batch_jit(
+            bases, quals, lengths,
+            adapter=st["adapter"].encode(),
+            min_length=st["min_length"],
+            keep_delta=keep_delta,
+            discard_non_clipped=st["discard_non_clipped"],
+            discard_clipped=st["discard_clipped"],
+            keep_n=not st["discard_n"],
+            show_adapter_only=st["show_adapter_only"],
+            min_adapter_len=st["min_adapter"],
+        )
+        batch.bases = np.asarray(b2)[:nb]
+        batch.quals = np.asarray(q2)[:nb]
+        batch.lengths = np.asarray(l2)[:nb]
+        cat = np.asarray(cat)[:nb]
+        out = batch.select(np.asarray(write)[:nb])
+        rc = np.asarray(batch.counts)
+        n_in += int(rc.sum())
+        n_zero += int(rc[cat == 1].sum())
+        n_short += int(rc[cat == 2].sum())
+        n_nonclip += int(rc[cat == 3].sum())
+        n_clip += int(rc[cat == 4].sum())
+        n_n += int(rc[cat == 5].sum())
+        writer.write(_shared.render_same_as_input(args, out))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
-        rc = np.asarray(batch.counts)
-        n_in = int(rc.sum())
-        n_zero = int(rc[cat == 1].sum())
-        n_short = int(rc[cat == 2].sum())
-        n_nonclip = int(rc[cat == 3].sum())
-        n_clip = int(rc[cat == 4].sum())
-        n_n = int(rc[cat == 5].sum())
         rep.write("Clipping Adapter: %s\n" % st["adapter"])
         rep.write("Min. Length: %d\n" % st["min_length"])
         if st["discard_clipped"]:

@@ -33,17 +33,21 @@ _rc_jit = jax.jit(transforms.reverse_complement, static_argnames=("is_fastq",))
 
 def tool_main(ctx: CliContext, argv) -> int:
     args = common.parse_cmdline(ctx, argv, "", None, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    b2, q2 = _rc_jit(bases, quals, lengths, is_fastq=batch.is_fastq)
-    batch.bases = np.asarray(b2)[:nb]
-    batch.quals = np.asarray(q2)[:nb]
-    _shared.write_same_as_input(ctx, args, batch)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    writer = common.OutputWriter(ctx, args)
+    n = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        b2, q2 = _rc_jit(bases, quals, lengths, is_fastq=batch.is_fastq)
+        batch.bases = np.asarray(b2)[:nb]
+        batch.quals = np.asarray(q2)[:nb]
+        n += int(batch.counts.sum())
+        writer.write(_shared.render_same_as_input(args, batch))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
         rep.write("Printing Reverse-Complement Sequences.\n")
-        n = int(batch.counts.sum())
         _shared.in_out_report(rep, n, n)
     return 0
 

@@ -73,19 +73,24 @@ def tool_main(ctx: CliContext, argv) -> int:
     if st["by_pos"] and st["from_end"]:
         errx(ctx, "[-t], [-f] and [-l] options can not be used together. Use [-t] or [-l,-f]")
 
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    b2, q2, l2, keep = _trim_jit(
-        bases, quals, lengths,
-        first=st["first"], last=st["last"],
-        trim_end=st["trim_end"], min_len=st["min_len"],
-    )
-    out = batch
-    out.bases = np.asarray(b2)[:nb]
-    out.quals = np.asarray(q2)[:nb]
-    out.lengths = np.asarray(l2)[:nb]
-    out = out.select(np.asarray(keep)[:nb])
-    _shared.write_same_as_input(ctx, args, out)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    writer = common.OutputWriter(ctx, args)
+    n_in = n_out = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        b2, q2, l2, keep = _trim_jit(
+            bases, quals, lengths,
+            first=st["first"], last=st["last"],
+            trim_end=st["trim_end"], min_len=st["min_len"],
+        )
+        n_in += int(batch.counts.sum())
+        batch.bases = np.asarray(b2)[:nb]
+        batch.quals = np.asarray(q2)[:nb]
+        batch.lengths = np.asarray(l2)[:nb]
+        out = batch.select(np.asarray(keep)[:nb])
+        n_out += int(out.counts.sum())
+        writer.write(_shared.render_same_as_input(args, out))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
@@ -95,7 +100,7 @@ def tool_main(ctx: CliContext, argv) -> int:
             rep.write("Trimming %d bases from the end of the reads\n" % st["trim_end"])
             if st["min_len"]:
                 rep.write("Discarding reads shorter than %d bases\n" % st["min_len"])
-        _shared.in_out_report(rep, int(batch.counts.sum()), int(out.counts.sum()))
+        _shared.in_out_report(rep, n_in, n_out)
     return 0
 
 

@@ -429,12 +429,42 @@ def render(
     out_fastq: bool,
     ascii_qual: Union[bool, np.ndarray] = True,
     q_offset: int = 33,
+    keep: Optional[np.ndarray] = None,
+    mask_thr: Optional[int] = None,
+    mask_char: int = ord("N"),
 ) -> bytes:
     """Render a batch to FASTA/FASTQ bytes, matching fastx_write_record
-    (fastx.c:440-473) byte for byte."""
+    (fastx.c:440-473) byte for byte.
+
+    ``keep`` drops records during assembly (no host-side select needed);
+    ``mask_thr`` applies the fastq_masker byte edit (quality < thr ->
+    mask_char) during the copy.  Both are free in the native render loop;
+    the numpy fallback applies them as pre-passes.
+    """
     n = len(batch)
     if n == 0:
         return b""
+    if native.LIB is None and (keep is not None or mask_thr is not None):
+        # fallback: materialize the edits, then render normally
+        if mask_thr is not None:
+            col = np.arange(batch.bases.shape[1])
+            m = (np.asarray(batch.quals) < mask_thr) & (
+                col[None, :] < np.asarray(batch.lengths)[:, None]
+            )
+            batch = ReadBatch(
+                bases=np.where(m, np.uint8(mask_char), batch.bases),
+                quals=batch.quals, lengths=batch.lengths, counts=batch.counts,
+                names=batch.names, names2=batch.names2, is_fastq=batch.is_fastq,
+                qual_ascii=batch.qual_ascii,
+            )
+        if keep is not None:
+            kb = np.asarray(keep, bool)
+            batch = batch.select(kb)
+            if not np.isscalar(ascii_qual):
+                ascii_qual = np.asarray(ascii_qual, bool)[kb]
+        return render(
+            batch, out_fastq=out_fastq, ascii_qual=ascii_qual, q_offset=q_offset
+        )
     seq_lens = np.asarray(batch.lengths, dtype=np.int64)
     seq_mat = np.ascontiguousarray(batch.bases, dtype=np.uint8)
     w = seq_mat.shape[1]
@@ -443,8 +473,13 @@ def render(
     if native.LIB is not None:
         lens32 = np.ascontiguousarray(batch.lengths, dtype=np.int32)
         if not out_fastq:
+            if mask_thr is not None:
+                quals8 = np.ascontiguousarray(batch.quals, dtype=np.int8)
+                col = np.arange(w)
+                m = (quals8 < mask_thr) & (col[None, :] < lens32[:, None])
+                seq_mat = np.where(m, np.uint8(mask_char), seq_mat)
             return native.render_fasta(
-                seq_mat, lens32, batch.names.buf, batch.names.offs
+                seq_mat, lens32, batch.names.buf, batch.names.offs, keep=keep
             )
         ascii_all = (
             bool(ascii_qual) if np.isscalar(ascii_qual) else bool(np.asarray(ascii_qual).all())
@@ -461,8 +496,32 @@ def render(
             )
             return native.render_fastq(
                 seq_mat, quals8, lens32, batch.names.buf, batch.names.offs,
-                n2.buf, n2.offs, q_offset,
+                n2.buf, n2.offs, q_offset, keep=keep, mask_thr=mask_thr,
+                mask_char=mask_char,
             )
+
+    if keep is not None or mask_thr is not None:
+        # remaining paths (numpy assembly / numeric-qual records) don't
+        # fuse the edits; materialize them and re-render
+        if mask_thr is not None:
+            col = np.arange(batch.bases.shape[1])
+            m = (np.asarray(batch.quals) < mask_thr) & (
+                col[None, :] < np.asarray(batch.lengths)[:, None]
+            )
+            batch = ReadBatch(
+                bases=np.where(m, np.uint8(mask_char), batch.bases),
+                quals=batch.quals, lengths=batch.lengths, counts=batch.counts,
+                names=batch.names, names2=batch.names2, is_fastq=batch.is_fastq,
+                qual_ascii=batch.qual_ascii,
+            )
+        if keep is not None:
+            kb = np.asarray(keep, bool)
+            batch = batch.select(kb)
+            if not np.isscalar(ascii_qual):
+                ascii_qual = np.asarray(ascii_qual, bool)[kb]
+        return render(
+            batch, out_fastq=out_fastq, ascii_qual=ascii_qual, q_offset=q_offset
+        )
 
     name_mat, name_lens = batch.names.padded()
     name_lens = name_lens.astype(np.int64)

@@ -57,9 +57,12 @@ def _load():
     lib.fx_fasta_sizes.argtypes = [_i64p, _i32p, ctypes.c_int64, _i64p]
     lib.fx_render_fastq.argtypes = [_u8p, _i8p, _i32p, ctypes.c_int64,
                                     ctypes.c_int64, _u8p, _i64p, _u8p, _i64p,
-                                    _i64p, ctypes.c_int, _u8p, ctypes.c_int]
+                                    _i64p, ctypes.c_int, _u8p, _u8p,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
+                                    ctypes.c_int]
     lib.fx_render_fasta.argtypes = [_u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
-                                    _u8p, _i64p, _i64p, _u8p, ctypes.c_int]
+                                    _u8p, _i64p, _i64p, _u8p, _u8p,
+                                    ctypes.c_int]
     return lib
 
 
@@ -101,12 +104,20 @@ def quals_from_ascii(buf, starts, lens, width, q_offset):
 
 
 def render_fastq(bases, quals, lens, name_buf, name_offs, name2_buf,
-                 name2_offs, q_offset) -> bytes:
+                 name2_offs, q_offset, keep=None, mask_thr=None,
+                 mask_char=ord("N")) -> bytes:
+    """Assemble FASTQ bytes; optionally skip records where keep is
+    False, and apply quality masking (quals < mask_thr -> mask_char)
+    during the copy."""
     n = bases.shape[0]
     width = bases.shape[1]
     name_lens = np.diff(name_offs)
     name2_lens = np.diff(name2_offs)
     sizes = 6 + name_lens + name2_lens + 2 * lens.astype(np.int64)
+    keep_arr = None
+    if keep is not None:
+        keep_arr = np.ascontiguousarray(keep, dtype=np.uint8)
+        sizes = np.where(keep_arr != 0, sizes, 0)
     rec_offs = np.zeros(n + 1, np.int64)
     np.cumsum(sizes, out=rec_offs[1:])
     out = np.empty(rec_offs[-1], np.uint8)
@@ -114,22 +125,30 @@ def render_fastq(bases, quals, lens, name_buf, name_offs, name2_buf,
         ptr(bases, _u8p), ptr(quals, _i8p), ptr(lens, _i32p), n, width,
         ptr(name_buf, _u8p), ptr(name_offs, _i64p),
         ptr(name2_buf, _u8p), ptr(name2_offs, _i64p),
-        ptr(rec_offs, _i64p), q_offset, ptr(out, _u8p), 0,
+        ptr(rec_offs, _i64p), q_offset, ptr(out, _u8p),
+        ptr(keep_arr, _u8p) if keep_arr is not None else None,
+        0 if mask_thr is None else 1,
+        0 if mask_thr is None else int(mask_thr), mask_char, 0,
     )
     return out.tobytes()
 
 
-def render_fasta(bases, lens, name_buf, name_offs) -> bytes:
+def render_fasta(bases, lens, name_buf, name_offs, keep=None) -> bytes:
     n = bases.shape[0]
     width = bases.shape[1]
     name_lens = np.diff(name_offs)
     sizes = 3 + name_lens + lens.astype(np.int64)
+    keep_arr = None
+    if keep is not None:
+        keep_arr = np.ascontiguousarray(keep, dtype=np.uint8)
+        sizes = np.where(keep_arr != 0, sizes, 0)
     rec_offs = np.zeros(n + 1, np.int64)
     np.cumsum(sizes, out=rec_offs[1:])
     out = np.empty(rec_offs[-1], np.uint8)
     LIB.fx_render_fasta(
         ptr(bases, _u8p), ptr(lens, _i32p), n, width,
         ptr(name_buf, _u8p), ptr(name_offs, _i64p), ptr(rec_offs, _i64p),
-        ptr(out, _u8p), 0,
+        ptr(out, _u8p),
+        ptr(keep_arr, _u8p) if keep_arr is not None else None, 0,
     )
     return out.tobytes()

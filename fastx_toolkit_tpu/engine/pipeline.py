@@ -62,6 +62,10 @@ class PipelineConfig:
     trim_minlen: int = 0
     mask_q: int = 20
     clip_minlen: int = 5
+    # include the per-cycle stats reduction in the fused step (the
+    # reference's headline chain has no stats stage; scatter-adds are the
+    # most expensive non-DP op, so bench parity keeps this off)
+    with_stats: bool = False
 
 
 def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
@@ -88,7 +92,10 @@ def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
     keep &= wrote
     keep &= transforms.artifacts_keep(b, l)
     l = jnp.where(keep, l, 0)  # noqa: E741
-    count, _, _, _, _ = stats_ops.accumulate(b, q, l, c, is_fastq=True)
+    if cfg.with_stats:
+        count, _, _, _, _ = stats_ops.accumulate(b, q, l, c, is_fastq=True)
+    else:
+        count = jnp.zeros((b.shape[1], stats_ops.NSLOTS), jnp.int32)
     if psum_axis is not None:
         count = jax.lax.psum(count, psum_axis)
     return b, q, l, keep, count

@@ -134,15 +134,21 @@ void fx_fasta_sizes(const int64_t* name_lens, const int32_t* lens, int64_t n,
 }
 
 // Assemble FASTQ bytes.  rec_offs[i] is the output offset of record i
-// (exclusive cumsum of fx_fastq_sizes), so threads write disjoint spans.
+// (exclusive cumsum of fx_fastq_sizes with dropped records at size 0),
+// so threads write disjoint spans.  Records with keep[i]==0 are skipped
+// (keep==NULL keeps everything); when mask_enable!=0, bases with quality
+// < mask_thr are replaced by mask_char during the copy (the fastq_masker
+// fused into rendering).
 void fx_render_fastq(const uint8_t* bases, const int8_t* quals,
                      const int32_t* lens, int64_t n, int64_t width,
                      const uint8_t* name_buf, const int64_t* name_offs,
                      const uint8_t* name2_buf, const int64_t* name2_offs,
                      const int64_t* rec_offs, int q_offset, uint8_t* out,
-                     int nthreads) {
+                     const uint8_t* keep, int mask_enable, int mask_thr,
+                     uint8_t mask_char, int nthreads) {
   parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
     for (int64_t i = s; i < e; i++) {
+      if (keep && !keep[i]) continue;
       uint8_t* p = out + rec_offs[i];
       int64_t len = lens[i];
       *p++ = '@';
@@ -150,7 +156,14 @@ void fx_render_fastq(const uint8_t* bases, const int8_t* quals,
       memcpy(p, name_buf + name_offs[i], (size_t)nl);
       p += nl;
       *p++ = '\n';
-      memcpy(p, bases + i * width, (size_t)len);
+      const int8_t* q = quals + i * width;
+      if (mask_enable) {
+        const uint8_t* b = bases + i * width;
+        for (int64_t j = 0; j < len; j++)
+          p[j] = q[j] < mask_thr ? mask_char : b[j];
+      } else {
+        memcpy(p, bases + i * width, (size_t)len);
+      }
       p += len;
       *p++ = '\n';
       *p++ = '+';
@@ -158,7 +171,6 @@ void fx_render_fastq(const uint8_t* bases, const int8_t* quals,
       memcpy(p, name2_buf + name2_offs[i], (size_t)n2);
       p += n2;
       *p++ = '\n';
-      const int8_t* q = quals + i * width;
       for (int64_t j = 0; j < len; j++) p[j] = (uint8_t)(q[j] + q_offset);
       p += len;
       *p++ = '\n';
@@ -169,9 +181,10 @@ void fx_render_fastq(const uint8_t* bases, const int8_t* quals,
 void fx_render_fasta(const uint8_t* bases, const int32_t* lens, int64_t n,
                      int64_t width, const uint8_t* name_buf,
                      const int64_t* name_offs, const int64_t* rec_offs,
-                     uint8_t* out, int nthreads) {
+                     uint8_t* out, const uint8_t* keep, int nthreads) {
   parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
     for (int64_t i = s; i < e; i++) {
+      if (keep && !keep[i]) continue;
       uint8_t* p = out + rec_offs[i];
       int64_t len = lens[i];
       *p++ = '>';
