@@ -128,3 +128,75 @@ def sharded_pipeline(mesh: Mesh, *, adapter: bytes = b"CTGTAGGCACCATCAAT",
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def sharded_collapse(mesh: Mesh, words, counts, first_idx):
+    """fastx_collapser over a device mesh.
+
+    Each shard dedups its rows locally (sort + segment-reduce), zeroing
+    the counts of non-head rows; an all-gather over 'data' then brings the
+    (still sorted-within-shard) tables together and a global re-collapse
+    merges them — the collapse operator is associative, so the result is
+    identical to a single-device collapse.  Returns replicated
+    (words_sorted, seg_counts, seg_first) full-size arrays; rows with
+    seg_counts == 0 are non-heads/padding.
+    """
+    from ..ops.collapse import collapse as _collapse
+
+    def _local(w, c, f):
+        perm, head, seg_id, seg_counts, seg_first = _collapse(w, c, f)
+        sw = w[perm]
+        # per-segment totals at head rows, zero elsewhere
+        counts_at_head = jnp.where(head, seg_counts[seg_id], 0)
+        first_at_head = jnp.where(head, seg_first[seg_id], jnp.iinfo(jnp.int32).max)
+        return sw, counts_at_head.astype(c.dtype), first_at_head.astype(jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _go(w, c, f):
+        sw, ch, fh = _local(w, c, f)
+        gw = jax.lax.all_gather(sw, "data", tiled=True)
+        gc = jax.lax.all_gather(ch, "data", tiled=True)
+        gf = jax.lax.all_gather(fh, "data", tiled=True)
+        # global merge: re-collapse the gathered table
+        perm, head, seg_id, seg_counts, seg_first = _collapse(gw, gc, gf)
+        sw2 = gw[perm]
+        counts2 = jnp.where(head, seg_counts[seg_id], 0)
+        first2 = jnp.where(head, seg_first[seg_id], jnp.iinfo(jnp.int32).max)
+        return sw2, counts2, first2
+
+    return jax.jit(_go)(words, counts, first_idx)
+
+
+def sharded_barcode_counts(mesh: Mesh, bases, lengths, barcodes, barcode_lens,
+                           penalties, *, bol: bool, barcodes_length: int,
+                           mismatches: int, n_idents: int, ident_of_barcode):
+    """Barcode splitter tallies over a device mesh: sharded hamming
+    matching + psum'd per-identifier counts (the record scatter itself is
+    host-side file IO)."""
+
+    ident_map = jnp.asarray(ident_of_barcode)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )
+    def _go(b, l):  # noqa: E741
+        best_idx, best_mm = transforms.barcode_match(
+            b, l, barcodes, barcode_lens, penalties,
+            bol=bol, barcodes_length=barcodes_length,
+        )
+        matched = (best_idx >= 0) & (best_mm <= mismatches)
+        ident = jnp.where(matched, ident_map[jnp.maximum(best_idx, 0)], n_idents)
+        tally = jnp.zeros(n_idents + 1, jnp.int32).at[ident].add(1)
+        return jnp.where(matched, ident, -1), jax.lax.psum(tally, "data")
+
+    return jax.jit(_go)(bases, lengths)

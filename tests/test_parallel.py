@@ -63,3 +63,51 @@ def test_sharded_pipeline_runs_and_matches():
     np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep1))
     np.testing.assert_array_equal(np.asarray(b), np.asarray(b1))
     np.testing.assert_array_equal(np.asarray(stat), np.asarray(stat1))
+
+
+def test_sharded_collapse_matches_single():
+    from fastx_toolkit_tpu.ops import collapse as C
+    from fastx_toolkit_tpu.parallel.mesh import sharded_collapse
+
+    rng = np.random.default_rng(5)
+    B, L = 64, 16
+    seqs = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(8, L))
+    bases = seqs[rng.integers(0, 8, B)]  # many duplicates
+    counts = rng.integers(1, 5, B).astype(np.int32)
+    words = C.pack_words(bases)
+    first = np.arange(B, dtype=np.int32)
+
+    uniq_idx, uniq_counts, uniq_first = C.collapse_batch(bases, counts)
+    order = C.final_order(uniq_counts, uniq_first)
+    want = sorted(zip(uniq_counts[order], uniq_first[order]))
+
+    mesh = data_mesh(8)
+    sw, sc, sf = (np.asarray(x) for x in sharded_collapse(
+        mesh, *shard_batch(mesh, words, counts, first)))
+    heads = sc > 0
+    got = sorted(zip(sc[heads].astype(np.int64), sf[heads].astype(np.int64)))
+    assert got == [(int(a), int(b)) for a, b in want]
+
+
+def test_sharded_barcode_counts():
+    from fastx_toolkit_tpu.parallel.mesh import sharded_barcode_counts
+
+    rng = np.random.default_rng(6)
+    B, L = 64, 20
+    barcodes = np.zeros((2, 5), np.uint8)
+    barcodes[0, :5] = np.frombuffer(b"GATCT", np.uint8)
+    barcodes[1, :5] = np.frombuffer(b"ATCGT", np.uint8)
+    bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    bases[:20, :5] = barcodes[0]
+    bases[20:30, :5] = barcodes[1]
+    lengths = np.full(B, L, np.int32)
+    mesh = data_mesh(8)
+    sb, sl = shard_batch(mesh, bases, lengths)
+    ident, tally = sharded_barcode_counts(
+        mesh, sb, sl, barcodes, np.array([5, 5], np.int32),
+        np.array([0, 0], np.int32), bol=True, barcodes_length=5,
+        mismatches=1, n_idents=2, ident_of_barcode=np.array([0, 1], np.int32),
+    )
+    tally = np.asarray(tally)
+    assert tally[0] >= 20 and tally[1] >= 10
+    assert tally.sum() == B
