@@ -83,6 +83,16 @@ def tool_main(ctx: CliContext, argv) -> int:
     if keep_delta > 0:
         keep_delta += len(st["adapter"])
 
+    import os
+
+    from ...engine.pipeline import bucket_shape
+
+    # default: emulate the reference's grow-only matrix / stale query
+    # buffer exactly (see ops.clipper.legacy_effective_query); set
+    # FASTX_TPU_CLIPPER_CLEAN=1 for independent-read semantics
+    legacy = not os.environ.get("FASTX_TPU_CLIPPER_CLEAN")
+    carry = None
+
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
     writer = common.OutputWriter(ctx, args)
     n_in = n_zero = n_short = n_nonclip = n_clip = n_n = 0
@@ -99,9 +109,30 @@ def tool_main(ctx: CliContext, argv) -> int:
                     ctx.stdout_text.write(align_dbg.format_matrix(seq, adapter_b))
                 ctx.stdout_text.write(align_dbg.format_results(seq, adapter_b))
 
-        (bases, quals, lengths, counts), nb = to_device(batch)
+        eff = widths = None
+        if legacy:
+            eff, widths, carry = clipper.legacy_effective_query(
+                np.asarray(batch.bases), np.asarray(batch.lengths), carry
+            )
+        nb = len(batch)
+        wmax = max(batch.width, eff.shape[1] if eff is not None else 0, 1)
+        bb, ll = bucket_shape(max(nb, 1), wmax)
+        bases = np.zeros((bb, ll), np.uint8)
+        bases[:nb, : batch.width] = batch.bases
+        quals = np.zeros((bb, ll), np.int8)
+        quals[:nb, : batch.width] = batch.quals
+        lengths = np.zeros(bb, np.int32)
+        lengths[:nb] = batch.lengths
+        kwargs = {}
+        if legacy:
+            effp = np.zeros((bb, ll), np.uint8)
+            effp[:nb, : eff.shape[1]] = eff
+            widthsp = np.zeros(bb, np.int32)
+            widthsp[:nb] = widths
+            kwargs = {"align_bases": effp, "align_lengths": widthsp}
         b2, q2, l2, write, cat = clipper.clip_batch_jit(
             bases, quals, lengths,
+            **kwargs,
             adapter=st["adapter"].encode(),
             min_length=st["min_length"],
             keep_delta=keep_delta,

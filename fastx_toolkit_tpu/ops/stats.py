@@ -142,28 +142,75 @@ accumulate_jit = jax.jit(accumulate, static_argnames=("is_fastq",))
 # host-side report generation (exact integer semantics)
 # ---------------------------------------------------------------------------
 
-def _get_nth_value(hist_row: np.ndarray, qmin: int, n: int) -> int:
-    """The reference's counting-sort walk (fastx_quality_stats.c:218-247).
+# The reference's histogram is bases_values_count[QUALITY_VALUES_RANGE]
+# == int[108] (quality 93 would index one past the end); the walk
+# (fastx_quality_stats.c:237-245) has NO bounds check, so on FASTA input
+# (empty histograms, count > 0) it marches through the adjacent struct
+# fields.  That memory is fully determined by the accumulator state plus
+# the struct layout: fastx.h's `#pragma pack(1)` (fastx.h:61) is never
+# popped and leaks into every file that includes it, so nucleotide_data
+# is PACKED -- int min; int max; int count; unsigned long long sum;
+# int bases_values_count[108]; -> 113 int32 slots, hist at int-offset 5 --
+# 6 structs per cycle, 25000 cycles zero/100/-100-initialized
+# (init_values, fastx_quality_stats.c:139-164).  _OOBView serves that
+# int32 view so the emergent quantiles are reproduced exactly
+# (verified differentially against the compiled reference).
+_C_HIST_LEN = 108
+_STRUCT_INTS = 113
+_C_MAX_CYCLES = 25000
 
-    n == 0 returns the stored min field.  For an empty histogram with
-    n > 0 (FASTA input) the C walks off the end of the array and lands on
-    the adjacent struct's min field (value 100) at offset NBINS-1; the
-    emergent return value is 93 -- reproduced here deterministically.
-    """
+
+class _OOBView:
+    """int32 view of the reference's cycles[] memory starting at one
+    struct's bases_values_count[0]."""
+
+    def __init__(self, acc: "StatsAccumulator", cyc: int, nuc: int):
+        self.acc = acc
+        self.base = (cyc * NSLOTS + nuc) * _STRUCT_INTS + 5
+        self.limit = _C_MAX_CYCLES * NSLOTS * _STRUCT_INTS - self.base
+
+    def __getitem__(self, pos: int) -> int:
+        g = self.base + pos
+        struct_idx, off = divmod(g, _STRUCT_INTS)
+        cyc, nuc = divmod(struct_idx, NSLOTS)
+        acc = self.acc
+        in_acc = cyc < acc.count.shape[0]
+        if off == 0:
+            return int(acc.qmin[cyc, nuc]) if in_acc else 100
+        if off == 1:
+            return int(acc.qmax[cyc, nuc]) if in_acc else -100
+        def as_i32(v):
+            v &= 0xFFFFFFFF
+            return v - 0x100000000 if v >= 0x80000000 else v
+
+        if off == 2:
+            return as_i32(int(acc.count[cyc, nuc])) if in_acc else 0
+        if off == 3:
+            return as_i32(int(acc.qsum[cyc, nuc])) if in_acc else 0
+        if off == 4:
+            return as_i32(int(acc.qsum[cyc, nuc]) >> 32) if in_acc else 0
+        h = off - 5
+        if not in_acc or h >= NBINS:
+            return 0
+        return int(acc.hist[cyc, nuc, h])
+
+
+def _get_nth_value(acc: "StatsAccumulator", cyc: int, nuc: int, n: int) -> int:
+    """The reference's counting-sort walk (fastx_quality_stats.c:218-247),
+    including its out-of-bounds continuation for empty histograms."""
     if n == 0:
-        return int(qmin)
-    if hist_row.sum() == 0:
-        return NBINS - 1 + MIN_Q  # = 93, the reference's emergent value
+        return int(acc.qmin[cyc, nuc])
+    arr = _OOBView(acc, cyc, nuc)
     pos = 0
-    while n > 0:
-        if hist_row[pos] > n:
+    guard = arr.limit
+    while n > 0 and pos < guard:
+        v = arr[pos]
+        if v > n:
             break
-        n -= int(hist_row[pos])
+        n -= v
         pos += 1
-        while pos < NBINS and hist_row[pos] == 0:
+        while pos < guard and arr[pos] == 0:
             pos += 1
-        if pos >= NBINS:
-            return NBINS - 1 + MIN_Q
     return pos + MIN_Q
 
 
@@ -180,10 +227,9 @@ def _slot_numbers(acc: StatsAccumulator, cyc: int, nuc: int):
     qmin = int(acc.qmin[cyc, nuc])
     qmax = int(acc.qmax[cyc, nuc])
     qsum = int(acc.qsum[cyc, nuc])
-    hist = acc.hist[cyc, nuc]
-    q1 = _get_nth_value(hist, qmin, count // 4)
-    med = _get_nth_value(hist, qmin, count // 2)
-    q3 = _get_nth_value(hist, qmin, count * 3 // 4)
+    q1 = _get_nth_value(acc, cyc, nuc, count // 4)
+    med = _get_nth_value(acc, cyc, nuc, count // 2)
+    q3 = _get_nth_value(acc, cyc, nuc, count * 3 // 4)
     iqr = q3 - q1
     # C's IQR*3/2 truncates toward zero (matters only if IQR < 0)
     half3 = int(iqr * 3 / 2) if iqr < 0 else iqr * 3 // 2
