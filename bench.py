@@ -74,6 +74,9 @@ def run_once(data: bytes, fn, cfg) -> tuple[int, bytes]:
     n = len(batch)
     new_len = np.empty(n, np.int32)
     keep = np.empty(n, bool)
+    # dispatch every chunk before fetching any result: jax dispatch is
+    # async, so device compute overlaps the host-side chunk prep
+    pending = []
     for s in range(0, n, CHUNK):
         e = min(s + CHUNK, n)
         bases = np.asarray(batch.bases[s:e])
@@ -86,7 +89,8 @@ def run_once(data: bytes, fn, cfg) -> tuple[int, bytes]:
             quals = np.pad(quals, ((0, pad), (0, 0)))
             lengths = np.pad(lengths, (0, pad))
             counts = np.pad(counts, (0, pad))
-        l, k, _count = fn(bases, quals, lengths, counts)
+        pending.append((s, e, fn(bases, quals, lengths, counts)))
+    for s, e, (l, k, _count) in pending:
         nb = e - s
         new_len[s:e] = np.asarray(l)[:nb]
         keep[s:e] = np.asarray(k)[:nb]
