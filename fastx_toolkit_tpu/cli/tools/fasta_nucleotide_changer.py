@@ -51,40 +51,49 @@ def tool_main(ctx: CliContext, argv) -> int:
     if st["dna"] and st["rna"]:
         errx(ctx, "RNA mode (-r) and DNA mode (-d) can not be used together.")
 
-    batch = _shared.load_batch(
+    reader = _shared.BatchReader(
         ctx, args, filetype=codec.FASTA_OR_FASTQ, allow_n=True, allow_u=True
     )
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    b2, changes, first_bad = _change_jit(bases, lengths, rna_mode=st["rna"])
-    first_bad = np.asarray(first_bad)[:nb]
-    bad_rows = np.flatnonzero(first_bad < np.asarray(batch.lengths))
-    if len(bad_rows):
-        i = int(bad_rows[0])
-        # the reference streams: records before the offending one were
-        # already written before the abort
-        partial = batch.take(np.arange(i))
-        partial.bases = np.asarray(b2)[:i]
-        _shared.write_fasta(ctx, args, partial)
-        # input_line_number at the time the record was processed = its
-        # last line (fasta_nucleotide_changer.c:104-106)
-        lpr = 4 if batch.is_fastq else 2
-        line = lpr * (i + 1)
-        nuc_to = "T" if st["dna"] else "U"
-        mode = "RNA-to-DNA" if st["dna"] else "DNA-to-RNA"
-        errx(
-            ctx,
-            "Error: found '%s' nucleotide on line %d. (input should not contain '%s' nucleotides in %s mode)"
-            % (nuc_to, line, nuc_to, mode),
-        )
-    batch.bases = np.asarray(b2)[:nb]
-    _shared.write_fasta(ctx, args, batch)
+    writer = common.OutputWriter(ctx, args)
+    n = 0
+    rec_base = 0
+    total_changes = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        b2, changes, first_bad = _change_jit(bases, lengths, rna_mode=st["rna"])
+        first_bad = np.asarray(first_bad)[:nb]
+        bad_rows = np.flatnonzero(first_bad < np.asarray(batch.lengths))
+        if len(bad_rows):
+            i = int(bad_rows[0])
+            # the reference streams: records before the offending one were
+            # already written before the abort
+            partial = batch.take(np.arange(i))
+            partial.bases = np.asarray(b2)[:i]
+            writer.write(codec.render(partial, out_fastq=False))
+            writer.close()
+            # input_line_number at the time the record was processed = its
+            # last line (fasta_nucleotide_changer.c:104-106)
+            lpr = 4 if batch.is_fastq else 2
+            line = lpr * (rec_base + i + 1)
+            nuc_to = "T" if st["dna"] else "U"
+            mode = "RNA-to-DNA" if st["dna"] else "DNA-to-RNA"
+            errx(
+                ctx,
+                "Error: found '%s' nucleotide on line %d. (input should not contain '%s' nucleotides in %s mode)"
+                % (nuc_to, line, nuc_to, mode),
+            )
+        batch.bases = np.asarray(b2)[:nb]
+        n += int(batch.counts.sum())
+        total_changes += int(np.asarray(changes)[:nb].sum())
+        rec_base += nb
+        writer.write(codec.render(batch, out_fastq=False))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
         rep.write("Mode: %s\n" % ("RNA-to-DNA" if st["dna"] else "DNA-to-RNA"))
-        n = int(batch.counts.sum())
         _shared.in_out_report(rep, n, n)
-        rep.write("Nucleotides changed: %d\n" % int(np.asarray(changes)[:nb].sum()))
+        rep.write("Nucleotides changed: %d\n" % total_changes)
     return 0
 
 

@@ -34,25 +34,55 @@ USAGE = (
 
 def tool_main(ctx: CliContext, argv) -> int:
     args = common.parse_cmdline(ctx, argv, "", None, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
 
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    # padding rows are all-PAD sequences; give them count 0 and drop after
-    uniq_idx, uniq_counts, uniq_first = collapse.collapse_batch(
-        np.asarray(bases), np.asarray(counts)
-    )
-    # drop the padding segment (its representative row is >= nb or count 0)
-    real = (uniq_idx < nb) & (uniq_counts > 0)
-    uniq_idx, uniq_counts, uniq_first = (
-        uniq_idx[real], uniq_counts[real], uniq_first[real]
-    )
+    # streaming accumulation: per-chunk device dedup (sort+segment-reduce)
+    # shrinks each chunk to its unique sequences; a host table merges
+    # chunks (count sum, min first-appearance)
+    table: dict = {}
+    n_in_seq = 0
+    n_in_reads = 0
+    rec_base = 0
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        uniq_idx, uniq_counts, uniq_first = collapse.collapse_batch(
+            np.asarray(bases), np.asarray(counts)
+        )
+        real = (uniq_idx < nb) & (uniq_counts > 0)
+        uniq_idx, uniq_counts, uniq_first = (
+            uniq_idx[real], uniq_counts[real], uniq_first[real]
+        )
+        bmat = np.asarray(batch.bases)
+        blens = np.asarray(batch.lengths)
+        for ridx, c, f in zip(uniq_idx, uniq_counts, uniq_first):
+            seq = bmat[ridx, : blens[ridx]].tobytes()
+            ent = table.get(seq)
+            if ent is None:
+                table[seq] = [int(c), rec_base + int(f)]
+            else:
+                ent[0] += int(c)
+        n_in_seq += nb
+        n_in_reads += int(batch.counts.sum())
+        rec_base += nb
+
+    seqs = list(table.keys())
+    uniq_counts = np.array([table[s][0] for s in seqs], np.int64)
+    uniq_first = np.array([table[s][1] for s in seqs], np.int64)
     order = collapse.final_order(uniq_counts, uniq_first)
-    uniq_idx, uniq_counts = uniq_idx[order], uniq_counts[order]
+
+    width = max((len(s) for s in seqs), default=0)
+    out_bases = np.zeros((len(seqs), width), np.uint8)
+    out_lens = np.zeros(len(seqs), np.int32)
+    for r, oi in enumerate(order):
+        s = seqs[oi]
+        out_bases[r, : len(s)] = np.frombuffer(s, np.uint8)
+        out_lens[r] = len(s)
+    uniq_counts = uniq_counts[order]
 
     out = ReadBatch(
-        bases=np.asarray(batch.bases)[uniq_idx],
-        quals=np.zeros((len(uniq_idx), batch.width), np.int8),
-        lengths=np.asarray(batch.lengths)[uniq_idx],
+        bases=out_bases,
+        quals=np.zeros((len(seqs), width), np.int8),
+        lengths=out_lens,
         counts=uniq_counts.astype(np.int32),
         names=StringColumn.from_list(
             [b"%d-%d" % (r + 1, c) for r, c in enumerate(uniq_counts)]
@@ -68,11 +98,11 @@ def tool_main(ctx: CliContext, argv) -> int:
         rep = common.report_stream(ctx, args)
         rep.write(
             "Input: %d sequences (representing %d reads)\n"
-            % (len(batch), int(batch.counts.sum()))
+            % (n_in_seq, n_in_reads)
         )
         rep.write(
             "Output: %d sequences (representing %d reads)\n"
-            % (len(uniq_idx), int(uniq_counts.sum()))
+            % (len(seqs), int(uniq_counts.sum()))
         )
     return 0
 

@@ -77,11 +77,14 @@ def tool_main(ctx: CliContext, argv) -> int:
             st["new_format"] = True
 
     args = common.parse_cmdline(ctx, argv, "N", cb, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
-    (bases, quals, lengths, counts), nb = to_device(batch)
-    parts = stats_ops.accumulate_jit(bases, quals, lengths, counts, is_fastq=batch.is_fastq)
-    acc = stats_ops.StatsAccumulator.empty(bases.shape[1])
-    acc.merge_partial(*[np.asarray(p) for p in parts])
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    acc = stats_ops.StatsAccumulator.empty(0)
+    for batch in reader:
+        (bases, quals, lengths, counts), nb = to_device(batch)
+        parts = stats_ops.accumulate_dispatch(
+            bases, quals, lengths, counts, is_fastq=batch.is_fastq
+        )
+        acc.merge_partial(*[np.asarray(p) for p in parts])
 
     text = (
         stats_ops.render_new_format(acc)

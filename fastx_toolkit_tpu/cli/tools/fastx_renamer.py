@@ -46,21 +46,29 @@ def tool_main(ctx: CliContext, argv) -> int:
                 errx(ctx, "Uknown rename type [-n]: '%s'" % arg)
 
     args = common.parse_cmdline(ctx, argv, "n:", cb, USAGE)
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_OR_FASTQ)
-
-    if st["type"] == "SEQ":
-        mat = np.asarray(batch.bases, dtype=np.uint8)
-        names = StringColumn.from_padded(mat, np.asarray(batch.lengths))
-    else:
-        names = StringColumn.from_list([b"%d" % (i + 1) for i in range(len(batch))])
-    batch.names = names
-    if batch.is_fastq:
-        batch.names2 = names
-    _shared.write_same_as_input(ctx, args, batch)
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    writer = common.OutputWriter(ctx, args)
+    n = 0
+    counter = 0
+    for batch in reader:
+        if st["type"] == "SEQ":
+            mat = np.asarray(batch.bases, dtype=np.uint8)
+            names = StringColumn.from_padded(mat, np.asarray(batch.lengths))
+        else:
+            names = StringColumn.from_list(
+                [b"%d" % (counter + i + 1) for i in range(len(batch))]
+            )
+            counter += len(batch)
+        batch.names = names
+        if batch.is_fastq:
+            batch.names2 = names
+        n += int(batch.counts.sum())
+        writer.write(_shared.render_same_as_input(args, batch))
+    writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
-        rep.write("Renamed: %d reads.\n" % int(batch.counts.sum()))
+        rep.write("Renamed: %d reads.\n" % n)
     return 0
 
 

@@ -51,25 +51,30 @@ def extract_collapsed_read_count(text: bytes) -> int:
 
 
 def _uncollapse_fasta(ctx, args):
-    batch = _shared.load_batch(ctx, args, filetype=codec.FASTA_ONLY)
-    counts = np.asarray(batch.counts, dtype=np.int64)
-    idx = np.repeat(np.arange(len(batch)), counts)
-    out = batch.take(idx)
-    out.counts = np.ones(len(idx), np.int32)
-    out.names = StringColumn.from_list([b"%d" % (i + 1) for i in range(len(idx))])
+    reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_ONLY)
     writer = common.OutputWriter(ctx, args)
-    writer.write(codec.render(out, out_fastq=False))
+    n_in_seq = n_reads = n_out = 0
+    for batch in reader:
+        counts = np.asarray(batch.counts, dtype=np.int64)
+        idx = np.repeat(np.arange(len(batch)), counts)
+        out = batch.take(idx)
+        out.counts = np.ones(len(idx), np.int32)
+        out.names = StringColumn.from_list(
+            [b"%d" % (n_out + i + 1) for i in range(len(idx))]
+        )
+        n_in_seq += len(batch)
+        n_reads += int(counts.sum())
+        n_out += len(idx)
+        writer.write(codec.render(out, out_fastq=False))
     writer.close()
 
     if args.verbose:
         rep = common.report_stream(ctx, args)
         rep.write(
-            "Input: %d sequences (representing %d reads)\n"
-            % (len(batch), int(counts.sum()))
+            "Input: %d sequences (representing %d reads)\n" % (n_in_seq, n_reads)
         )
         rep.write(
-            "Output: %d sequences (representing %d reads)\n"
-            % (len(idx), int(counts.sum()))
+            "Output: %d sequences (representing %d reads)\n" % (n_out, n_reads)
         )
 
 

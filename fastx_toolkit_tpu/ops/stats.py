@@ -281,3 +281,56 @@ def render_new_format(acc: StatsAccumulator) -> str:
             )
         out.append("".join(row) + "\n")
     return "".join(out)
+
+
+def derive_from_hist(pernuc_hist: np.ndarray):
+    """FASTQ statistics from the per-(pos, nuc, qval) histogram alone.
+
+    get_reads_count is always 1 for FASTQ (fastx.c:479-481), so the
+    weighted and unweighted accumulators coincide and count/qsum/min/max
+    are exact functions of the histogram.  Slot 0 of the input counts
+    unknown bytes (STATS_INDEX==0); the reference adds every base to ALL
+    *and* to its nuc slot, so ALL = sum over slots + the slot-0 adds.
+    Returns (count, hist, qsum, qmin, qmax) matching accumulate()'s
+    layout.
+    """
+    pernuc_hist = np.asarray(pernuc_hist, dtype=np.int64)
+    L = pernuc_hist.shape[0]
+    hist = pernuc_hist.copy()
+    hist[:, 0] = pernuc_hist.sum(axis=1) + pernuc_hist[:, 0]
+    count = hist.sum(axis=2)
+    vals = np.arange(MIN_Q, MIN_Q + NBINS, dtype=np.int64)
+    qsum = (hist * vals[None, None, :]).sum(axis=2)
+    nz = hist > 0
+    any_nz = nz.any(axis=2)
+    qmin = np.where(any_nz, vals[np.argmax(nz, axis=2)], 100).astype(np.int32)
+    qmax = np.where(
+        any_nz, vals[NBINS - 1 - np.argmax(nz[:, :, ::-1], axis=2)], -100
+    ).astype(np.int32)
+    return count, hist, qsum, qmin, qmax
+
+
+def accumulate_dispatch(bases, quals, lengths, counts, *, is_fastq: bool):
+    """Pick the Pallas one-hot-matmul histogram on TPU backends for FASTQ
+    (the XLA scatter-add serializes); fall back to accumulate() elsewhere.
+    Results are identical."""
+    import os
+
+    B = bases.shape[0]
+    platform = jax.devices()[0].platform
+    if (
+        is_fastq
+        and platform in ("tpu", "axon")
+        and not os.environ.get("FASTX_TPU_NO_PALLAS")
+    ):
+        from ..kernels.stats_pallas import stats_hist_pallas
+
+        tile = 512
+        if B % tile != 0:
+            pad = -(-B // tile) * tile - B
+            bases = np.pad(np.asarray(bases), ((0, pad), (0, 0)))
+            quals = np.pad(np.asarray(quals), ((0, pad), (0, 0)))
+            lengths = np.pad(np.asarray(lengths), (0, pad))
+        pernuc = np.asarray(stats_hist_pallas(bases, quals, lengths, tile_b=tile))
+        return derive_from_hist(pernuc)
+    return accumulate_jit(bases, quals, lengths, counts, is_fastq=is_fastq)

@@ -1,0 +1,24 @@
+"""Pallas stats histogram kernel vs the XLA scatter-add accumulate."""
+
+import numpy as np
+
+from fastx_toolkit_tpu.kernels.stats_pallas import stats_hist_pallas
+from fastx_toolkit_tpu.ops import stats as S
+
+
+def test_hist_kernel_interpret_matches_accumulate():
+    rng = np.random.default_rng(9)
+    B, L = 512, 24
+    bases = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(B, L))
+    quals = rng.integers(-5, 41, size=(B, L)).astype(np.int8)
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    counts = np.ones(B, np.int32)
+
+    want = S.accumulate(bases, quals, lengths, counts, is_fastq=True)
+    pernuc = np.asarray(
+        stats_hist_pallas(bases, quals, lengths, tile_b=128, interpret=True)
+    )
+    got = S.derive_from_hist(pernuc)
+    names = ("count", "hist", "qsum", "qmin", "qmax")
+    for name, w, g in zip(names, want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g), err_msg=name)
