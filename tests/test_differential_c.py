@@ -207,3 +207,21 @@ def test_collapser_counts_differential(refbin):
     ork, ogr = parse(r.stdout)
     assert crk == ork
     assert cgr == ogr
+
+
+@pytest.mark.parametrize("tool_name", [
+    "fastq_to_fasta", "fastq_quality_filter", "fastq_quality_trimmer",
+    "fastq_masker", "fastx_trimmer", "fastx_artifacts_filter",
+    "fastx_reverse_complement", "fastq_quality_converter", "fastx_renamer",
+    "fasta_nucleotide_changer", "fastx_quality_stats", "fastx_clipper",
+    "fastx_collapser",
+])
+def test_usage_text_differential(refbin, tool_name):
+    """-h prints the exact reference usage text and exits 1."""
+    import importlib
+
+    mod = importlib.import_module("fastx_toolkit_tpu.cli.tools." + tool_name)
+    crc, cout, _ = run_c(refbin, tool_name, ["-h"], b"")
+    r = run_tool(mod, ["-h"], b"", prog=tool_name)
+    assert r.status == crc == 1
+    assert r.report.encode() == cout
