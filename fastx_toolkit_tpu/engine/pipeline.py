@@ -93,7 +93,7 @@ def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
     keep &= transforms.artifacts_keep(b, l)
     l = jnp.where(keep, l, 0)  # noqa: E741
     if cfg.with_stats:
-        count, _, _, _, _ = stats_ops.accumulate(b, q, l, c, is_fastq=True)
+        count = stats_ops.counts_only(b, l, c)
     else:
         count = jnp.zeros((b.shape[1], stats_ops.NSLOTS), jnp.int32)
     if psum_axis is not None:

@@ -334,3 +334,25 @@ def accumulate_dispatch(bases, quals, lengths, counts, *, is_fastq: bool):
         pernuc = np.asarray(stats_hist_pallas(bases, quals, lengths, tile_b=tile))
         return derive_from_hist(pernuc)
     return accumulate_jit(bases, quals, lengths, counts, is_fastq=is_fastq)
+
+
+def counts_only(bases, lengths, counts):
+    """Per-cycle nucleotide counts [L, 6] without the quality histogram —
+    six masked einsums (MXU) instead of a scatter-add.  Used by the fused
+    pipeline's stats stage where only counts are consumed."""
+    B, L = bases.shape
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+    nuc = _STATS_LUT[bases.astype(jnp.int32)]
+    w = counts.astype(jnp.float32)
+    out = []
+    vf = valid.astype(jnp.float32)
+    all_c = jnp.einsum("bl,b->l", vf, w, preferred_element_type=jnp.float32)
+    for s in range(1, NSLOTS):
+        m = (vf * (nuc == s).astype(jnp.float32))
+        out.append(jnp.einsum("bl,b->l", m, w, preferred_element_type=jnp.float32))
+    unknown = (vf * (nuc == 0).astype(jnp.float32))
+    unk = jnp.einsum("bl,b->l", unknown, w, preferred_element_type=jnp.float32)
+    # the reference adds every base to ALL and to its slot; unknown bytes
+    # have slot 0 == ALL, so ALL gets them twice
+    cols = [all_c + unk] + out
+    return jnp.stack(cols, axis=1).astype(jnp.int32)

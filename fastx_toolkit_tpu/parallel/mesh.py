@@ -111,6 +111,9 @@ def sharded_pipeline(mesh: Mesh, *, adapter: bytes = b"CTGTAGGCACCATCAAT",
         adapter=adapter, trim_last=trim_last, filter_q=filter_q,
         filter_p=filter_p, trim_q=trim_q, trim_minlen=trim_minlen,
         mask_q=mask_q, clip_minlen=clip_minlen,
+        # the sharded step keeps the stats reduction on so the psum
+        # collective is part of the compiled program (cheap: einsum counts)
+        with_stats=True,
     )
 
     def _shard_body(b, q, l, c):  # noqa: E741

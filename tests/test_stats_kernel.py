@@ -22,3 +22,17 @@ def test_hist_kernel_interpret_matches_accumulate():
     names = ("count", "hist", "qsum", "qmin", "qmax")
     for name, w, g in zip(names, want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g), err_msg=name)
+
+
+def test_counts_only_matches_accumulate():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(10)
+    B, L = 64, 40
+    bases = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(B, L))
+    quals = rng.integers(0, 41, size=(B, L)).astype(np.int8)
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    counts = rng.integers(1, 7, B).astype(np.int32)
+    want = S.accumulate(bases, quals, lengths, counts, is_fastq=True)[0]
+    got = S.counts_only(jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(counts))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
