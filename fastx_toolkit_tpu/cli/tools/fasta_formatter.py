@@ -123,43 +123,58 @@ def tool_main(ctx: CliContext, argv) -> int:
             raise ExitWithStatus(1)
 
     if input_filename in ("", "-"):
-        data = ctx.stdin.read()
+        stream = ctx.stdin
     else:
         try:
-            with open(input_filename, "rb") as f:
-                data = f.read()
+            stream = open(input_filename, "rb")
         except OSError:
             raise ExitWithStatus(1)
 
-    lines = data.split(b"\n")
-    if lines and lines[-1] == b"":
-        lines.pop()
+    if output_filename in ("", "-"):
+        sink = ctx.stdout
+        close_sink = False
+    else:
+        sink = open(output_filename, "wb")
+        close_sink = True
 
-    out: list = []
+    import os as _os
+
+    block_bytes = int(_os.environ.get("FASTX_TPU_BLOCK_BYTES", 64 * 1024 * 1024))
     seq_id = b""
     seq = b""
     first = True
-    for line in lines:
-        if not line:
-            continue
-        if line.startswith(b">"):
-            if first:
-                first = False
-            else:
-                _write_seq(out, seq_id, seq, tabular=tabular, width=width,
-                           keep_empty=keep_empty)
-            seq_id = line
-            seq = b""
+    carry = b""
+    while True:
+        block = stream.read(block_bytes)
+        data = carry + block if carry else block
+        if not block:
+            lines = data.split(b"\n")
+            carry = b""
         else:
-            seq += line
+            lines = data.split(b"\n")
+            carry = lines.pop()  # last piece may be a partial line
+        out: list = []
+        for line in lines:
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if first:
+                    first = False
+                else:
+                    _write_seq(out, seq_id, seq, tabular=tabular, width=width,
+                               keep_empty=keep_empty)
+                seq_id = line
+                seq = b""
+            else:
+                seq += line
+        sink.write(b"".join(out))
+        if not block:
+            break
+    out = []
     _write_seq(out, seq_id, seq, tabular=tabular, width=width, keep_empty=keep_empty)
-
-    payload = b"".join(out)
-    if output_filename in ("", "-"):
-        ctx.stdout.write(payload)
-    else:
-        with open(output_filename, "wb") as f:
-            f.write(payload)
+    sink.write(b"".join(out))
+    if close_sink:
+        sink.close()
     return 0
 
 

@@ -93,3 +93,14 @@ def test_gzip_output():
         )
         assert r.returncode == 0, r.stderr
         assert gzip.open(outf).read() == plain.stdout
+
+
+@pytest.mark.parametrize("block", [16, 512])
+def test_formatter_streaming_equivalence(block):
+    from fastx_toolkit_tpu.cli.tools import fasta_formatter
+
+    data = fixture("fasta_formatter1.fasta")
+    for argv in (["-w", "0"], ["-w", "60"], ["-t"], ["-e"]):
+        whole = run_tool(fasta_formatter, argv, data)
+        small = run_tool_blocksize(fasta_formatter, argv, data, block)
+        assert small.stdout == whole.stdout, argv
