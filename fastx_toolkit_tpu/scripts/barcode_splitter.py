@@ -25,6 +25,16 @@ import numpy as np
 from ..ops.transforms import barcode_match
 from ..core.errors import FastxError
 
+
+def _matcher_jit(frag, lens, bc_mat, bc_lens, penalties, *, bol, barcodes_length):
+    import jax
+
+    fn = jax.jit(
+        barcode_match, static_argnames=("bol", "barcodes_length")
+    )
+    return fn(frag, lens, bc_mat, bc_lens, penalties, bol=bol,
+              barcodes_length=barcodes_length)
+
 USAGE_TEMPLATE = """Barcode Splitter, by Assaf Gordon (gordon\\@cshl.edu), 11sep2008
 
 This program reads FASTA/FASTQ file and splits it into several smaller files,
@@ -265,15 +275,20 @@ def main_io(argv, stdin, stdout, stderr, prog="fastx_barcode_splitter.pl") -> in
     buf = np.frombuffer(data, np.uint8)
 
     # build [B, max(barcodes_length, pad)] fragment-source matrix: the
-    # chomped bases line bytes
+    # chomped bases line bytes.  Shapes are bucketed (B to a power of two,
+    # L to a multiple of 32) so repeated runs reuse the jitted matcher.
     b_starts = np.array([r[2] for r in recs], np.int64)
     b_lens = np.array([r[3] - r[2] for r in recs], np.int64)
     L = max(int(b_lens.max()) if B else 0, barcodes_length)
+    from ..engine.pipeline import bucket_shape
+
+    Bp, L = bucket_shape(max(B, 1), L)
     col = np.arange(L, dtype=np.int64)
     mask = col[None, :] < b_lens[:, None]
-    frag = np.zeros((B, L), np.uint8)
+    frag = np.zeros((Bp, L), np.uint8)
     idx2 = b_starts[:, None] + col[None, :]
-    frag[mask] = buf[np.minimum(idx2, len(buf) - 1)[mask]]
+    frag[:B][mask] = buf[np.minimum(idx2, len(buf) - 1)[mask]]
+    b_lens = np.pad(b_lens, (0, Bp - B))
 
     K = len(barcodes)
     bc_mat = np.zeros((K, barcodes_length), np.uint8)
@@ -284,8 +299,8 @@ def main_io(argv, stdin, stdout, stderr, prog="fastx_barcode_splitter.pl") -> in
     penalties = barcodes_length - bc_lens
 
     best_idx, best_mm = (
-        np.asarray(x)
-        for x in barcode_match(
+        np.asarray(x)[:B]
+        for x in _matcher_jit(
             frag, b_lens.astype(np.int32), bc_mat, bc_lens, penalties,
             bol=a.bol, barcodes_length=barcodes_length,
         )
