@@ -225,3 +225,22 @@ def test_usage_text_differential(refbin, tool_name):
     r = run_tool(mod, ["-h"], b"", prog=tool_name)
     assert r.status == crc == 1
     assert r.report.encode() == cout
+
+
+def test_mixed_quality_format_differential(refbin):
+    """OUTPUT_SAME_AS_INPUT preserves each record's own ASCII/numeric
+    quality encoding (fastx.c:296-306,392-395)."""
+    from fastx_toolkit_tpu.cli.tools import fastx_trimmer
+
+    data = (
+        b"@r0\nACGTACGTAC\n+\nIIIIIHHHHH\n"
+        b"@r1\nACGTACGT\n+\n30 31 32 33 34 35 36 37\n"
+        b"@r2\nTTTT\n+\nABCD\n"
+        b"@r3\nGG\n+\n10 11\n"
+    )
+    r, cerr = _compare(
+        refbin, fastx_trimmer, "fastx_trimmer", ["-Q", "33", "-f", "2", "-v"], data
+    )
+    assert r.stderr == cerr.decode()
+    # numeric record stays numeric, ascii stays ascii
+    assert b"31 32 33" in r.stdout and b"IIIIHHHHH"[-5:] in r.stdout
