@@ -59,6 +59,19 @@ def _split_lines(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     (/root/reference/src/libfastx/chomp.c:34-44).
     """
     buf = np.frombuffer(data, dtype=np.uint8)
+    if native.LIB is not None and len(buf):
+        starts, has_cr = native.index_lines(buf)
+        nlines = len(starts)
+        ends = np.empty(nlines, dtype=np.int64)
+        ends[:-1] = starts[1:] - 1
+        ends[-1] = len(buf) - 1 if data.endswith(b"\n") else len(buf)
+        if not has_cr:
+            return starts, ends, buf
+        cr = np.flatnonzero(buf == 0x0D)
+        first_cr = np.searchsorted(cr, starts, side="left")
+        hc = (first_cr < len(cr)) & (cr[np.minimum(first_cr, len(cr) - 1)] < ends)
+        ends = np.where(hc, cr[np.minimum(first_cr, len(cr) - 1)], ends)
+        return starts, ends, buf
     nl = np.flatnonzero(buf == 0x0A)
     starts = np.empty(len(nl) + 1, dtype=np.int64)
     starts[0] = 0
@@ -367,6 +380,11 @@ def _empty_batch(is_fastq: bool) -> ReadBatch:
 
 def _column_from_slices(buf, starts, lens) -> StringColumn:
     n = len(starts)
+    if native.LIB is not None and n:
+        flat, offs = native.gather_flat(
+            buf, np.ascontiguousarray(starts), np.ascontiguousarray(lens)
+        )
+        return StringColumn(flat, offs)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     out = np.empty(offs[-1], dtype=np.uint8)

@@ -63,6 +63,11 @@ def _load():
     lib.fx_render_fasta.argtypes = [_u8p, _i32p, ctypes.c_int64, ctypes.c_int64,
                                     _u8p, _i64p, _i64p, _u8p, _u8p,
                                     ctypes.c_int]
+    lib.fx_index_lines.argtypes = [_u8p, ctypes.c_int64, _i64p,
+                                   ctypes.POINTER(ctypes.c_int32)]
+    lib.fx_index_lines.restype = ctypes.c_int64
+    lib.fx_gather_flat.argtypes = [_u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+                                   _u8p, ctypes.c_int]
     return lib
 
 
@@ -152,3 +157,24 @@ def render_fasta(bases, lens, name_buf, name_offs, keep=None) -> bytes:
         ptr(keep_arr, _u8p) if keep_arr is not None else None, 0,
     )
     return out.tobytes()
+
+
+def index_lines(buf: np.ndarray):
+    """One-pass line indexing: (starts int64 [nlines], has_cr bool)."""
+    n = len(buf)
+    starts = np.empty(n // 2 + 2, np.int64)
+    has_cr = ctypes.c_int32(0)
+    count = LIB.fx_index_lines(ptr(buf, _u8p), n, ptr(starts, _i64p),
+                               ctypes.byref(has_cr))
+    return starts[:count], bool(has_cr.value)
+
+
+def gather_flat(buf, starts, lens):
+    """Concatenate variable slices -> (flat uint8, offs int64 [n+1])."""
+    n = len(starts)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    out = np.empty(offs[-1], np.uint8)
+    LIB.fx_gather_flat(ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p),
+                       ptr(offs, _i64p), n, ptr(out, _u8p), 0)
+    return out, offs

@@ -200,3 +200,46 @@ void fx_render_fasta(const uint8_t* bases, const int32_t* lens, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Single-pass line indexing: fills starts[] (offset of each line's first
+// byte) and returns the line count; *has_cr is set if any CR byte exists
+// (so the Python codec can skip its chomp pass entirely on normal
+// files).  starts must have room for n/2+2 entries (every line needs at
+// least 1 byte + newline, except a final unterminated line).
+int64_t fx_index_lines(const uint8_t* buf, int64_t n, int64_t* starts,
+                       int32_t* has_cr) {
+  int64_t count = 0;
+  int64_t pos = 0;
+  int hc = 0;
+  starts[count++] = 0;
+  const uint8_t* base = buf;
+  while (pos < n) {
+    const uint8_t* nl = (const uint8_t*)memchr(base + pos, '\n', (size_t)(n - pos));
+    if (!nl) break;
+    int64_t at = nl - base;
+    starts[count++] = at + 1;
+    pos = at + 1;
+  }
+  // CR detection in one extra scan only if the file might have them;
+  // memchr is ~memory-bandwidth so this is cheap
+  hc = memchr(buf, '\r', (size_t)n) != nullptr;
+  *has_cr = hc;
+  if (count > 0 && starts[count - 1] == n) count--;  // trailing newline
+  return count;
+}
+
+// Concatenate variable-length slices into a flat buffer at precomputed
+// offsets (exclusive cumsum of lens).
+void fx_gather_flat(const uint8_t* buf, const int64_t* starts,
+                    const int64_t* lens, const int64_t* out_offs, int64_t n,
+                    uint8_t* out, int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      memcpy(out + out_offs[i], buf + starts[i], (size_t)lens[i]);
+    }
+  });
+}
+
+}  // extern "C"
