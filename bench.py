@@ -70,7 +70,12 @@ def run_once(data: bytes, fn, cfg) -> tuple[int, bytes]:
     (see decisions_pipeline docstring)."""
     from fastx_toolkit_tpu.core import codec
 
+    prof = os.environ.get("FASTX_BENCH_PROFILE")
+    t0 = time.perf_counter()
     batch = codec.parse(data, filetype=codec.FASTQ_ONLY, q_offset=33)
+    if prof:
+        print("  parse %.3fs" % (time.perf_counter() - t0), file=sys.stderr)
+        t0 = time.perf_counter()
     n = len(batch)
     new_len = np.empty(n, np.int32)
     keep = np.empty(n, bool)
@@ -90,18 +95,28 @@ def run_once(data: bytes, fn, cfg) -> tuple[int, bytes]:
             lengths = np.pad(lengths, (0, pad))
             counts = np.pad(counts, (0, pad))
         pending.append((s, e, fn(bases, quals, lengths, counts)))
+    if prof:
+        t1 = time.perf_counter()
+        print("  dispatch %.3fs" % (t1 - t0), file=sys.stderr)
     for s, e, (l, k, _count) in pending:
         nb = e - s
         new_len[s:e] = np.asarray(l)[:nb]
         keep[s:e] = np.asarray(k)[:nb]
+    if prof:
+        t2 = time.perf_counter()
+        print("  collect %.3fs" % (t2 - t1), file=sys.stderr)
 
     # the masker's byte edits and the keep-filter are fused into the
     # native render loop (zero extra passes)
     batch.lengths = new_len
+    if prof:
+        t3 = time.perf_counter()
     payload = codec.render(
         batch, out_fastq=True, ascii_qual=True, q_offset=33,
         keep=keep, mask_thr=cfg.mask_q,
     )
+    if prof:
+        print("  render %.3fs" % (time.perf_counter() - t3), file=sys.stderr)
     return n, payload
 
 

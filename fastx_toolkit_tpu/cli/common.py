@@ -261,6 +261,19 @@ def report_stream(ctx: CliContext, common: CommonArgs):
 
 def run_tool_main(tool_main: Callable[[CliContext, list], int], argv=None) -> int:
     """Process-level wrapper: maps FastxError/ExitWithStatus to exit codes."""
+    try:
+        # persistent compile cache: repeated CLI invocations on TPU reuse
+        # jitted programs instead of recompiling per process
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_comp")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     ctx = CliContext(prog=os.path.basename(sys.argv[0]))
     args = list(sys.argv[1:] if argv is None else argv)
     try:
