@@ -199,6 +199,13 @@ TOOLS = [
      "tabular",
      [({"input": "fastq_stats1.fastq"}, "fastq_stats1.out")]),
 
+    ("cshl_fastx_quality_statistics_ng_tpu", "Compute quality statistics",
+     "(improved) (TPU scatter-add reduction)",
+     "cat '$input' |\nfastx_quality_stats\n" + Q_SWITCH + "\n -N -o '$output'",
+     '<param format="fasta,fastq,fastqsanger" name="input" type="data" label="Library to analyse" />',
+     "tabular",
+     []),
+
     ("cshl_fastq_quality_boxplot_tpu", "Draw quality score boxplot",
      "",
      "fastq_quality_boxplot_graph.sh -t '$input.name' -i $input -o '$output'",
@@ -209,6 +216,13 @@ TOOLS = [
      "",
      "fastx_nucleotide_distribution_graph.sh -t '$input.name' -i $input -o '$output'",
      '<param format="txt,tabular" name="input" type="data" label="Statistics report file" />',
+     "png", []),
+
+    ("cshl_fastx_nucleotides_distribution_line_plot_tpu",
+     "Draw nucleotides distribution line chart",
+     "",
+     "fastx_nucleotide_distribution_line_graph.sh -i '$input' -o '$output'",
+     '<param format="txt,tabular" name="input" type="data" label="Statistics report file (new -N format)" />',
      "png", []),
 
     ("cshl_fasta_clipping_histogram_tpu", "Length distribution chart",
@@ -271,11 +285,21 @@ the classic FASTX-Toolkit tool of the same name byte for byte.
 """ % (tid, name, desc, command, inputs, out_elem, tests_block)
 
 
+# filenames that differ from the tool-id stem, matching the reference tree
+# (galaxy/tools/fastx_toolkit/) so a tool_conf.xml switch is a pure rename
+FILENAMES = {
+    "cshl_fasta_nucleotides_changer_tpu": "fasta_nucleotide_changer.xml",
+    "cshl_fastx_nucleotides_distribution_line_plot_tpu": "fastx_nucleotides_distribution_line.xml",
+}
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     for tool in TOOLS:
-        path = os.path.join(OUT, tool[0].removeprefix("cshl_").removesuffix("_tpu") + ".xml")
-        with open(path, "w") as f:
+        name = FILENAMES.get(
+            tool[0], tool[0].removeprefix("cshl_").removesuffix("_tpu") + ".xml"
+        )
+        with open(os.path.join(OUT, name), "w") as f:
             f.write(render(tool))
     print("wrote %d tool XMLs to %s" % (len(TOOLS), OUT))
 

@@ -94,3 +94,19 @@ def test_galaxy_barcode_wrapper(tmp_path):
     assert "<html><body><table border=1>" in r.stdout
     assert "BC1</td><td>11" in r.stdout.replace("\n", "")
     assert (outdir / "testlib__BC1.txt").exists()
+
+
+def test_galaxy_layer_covers_reference_tool_list():
+    """Every reference Galaxy wrapper XML has a same-named counterpart here
+    (SURVEY §2.4), and the section conf only references files that exist."""
+    ref_dir = "/root/reference/galaxy/tools/fastx_toolkit"
+    our_dir = "/root/repo/galaxy/tools/fastx_toolkit_tpu"
+    ref_xmls = {f for f in os.listdir(ref_dir) if f.endswith(".xml")}
+    our_xmls = set(os.listdir(our_dir))
+    missing = ref_xmls - our_xmls
+    assert not missing, f"galaxy wrappers missing vs reference: {sorted(missing)}"
+
+    conf = open("/root/repo/galaxy/fastx_toolkit_tpu_conf.xml").read()
+    import re
+    for m in re.finditer(r'file="fastx_toolkit_tpu/([^"]+)"', conf):
+        assert m.group(1) in our_xmls, f"conf references missing XML {m.group(1)}"
