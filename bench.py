@@ -62,62 +62,209 @@ def synth_lane_bytes(n, read_len, seed=42) -> bytes:
     return codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=33)
 
 
-def run_once(data: bytes, fn, cfg) -> tuple[int, bytes]:
-    """Parse -> device pipeline (chunked, decisions only) -> host render.
+BLOCK_BYTES = int(os.environ.get("FASTX_BENCH_BLOCK", 32 * 1024 * 1024))
 
-    The device returns only (final_length, keep, stats) per read; the
-    masker's byte edits are re-applied on host in one vectorized pass
-    (see decisions_pipeline docstring)."""
+
+def _dispatch_chunk(bases, quals, lengths, fns, cfg):
+    """Pack one exactly-CHUNK-row chunk and dispatch it (async).
+    Layout choice per chunk: 2-bit bases for pure-ACGTN chunks (the N
+    bit-plane shipped only if the chunk has any N), 4-bit bases
+    otherwise; 1-bit quality planes and int16 lengths either way.  The
+    headline config needs no counts upload (stats off)."""
+    from fastx_toolkit_tpu.engine.pipeline import (
+        chunk_is_acgtn,
+        pack_batch,
+        pack_batch2,
+    )
+
+    fn2_clean, fn2, fn4 = fns
+    if chunk_is_acgtn(bases):
+        has_n = bool((bases == ord("N")).any())
+        b2, planes = pack_batch2(bases, quals, cfg, n_plane=has_n)
+        fn = fn2 if has_n else fn2_clean
+        return fn(b2, planes, lengths)
+    b4, planes = pack_batch(bases, quals, cfg)
+    return fn4(b4, planes, lengths)
+
+
+def run_once(data: bytes, fns, cfg) -> tuple[int, bytes]:
+    """Parse -> device pipeline (chunked, decisions only) -> host render,
+    fully overlapped and padding-free.
+
+    A producer thread block-parses the byte stream (BatchReader record
+    framing) and accumulates reads across block boundaries so every
+    dispatched chunk is exactly CHUNK rows — no padding inflation on the
+    device link (only the final chunk of the lane is padded).  The main
+    thread walks the decision futures in order, scatters them back onto
+    the parsed blocks, and renders each block as soon as its last
+    decision arrives, while later blocks are still parsing/packing/
+    transferring.  The device returns only (final_length, keep, stats)
+    per read; the masker's byte edits are re-applied during the native
+    render pass."""
+    import io
+    import queue
+    import threading
+    from types import SimpleNamespace
+
+    from fastx_toolkit_tpu.cli.tools._shared import BatchReader
     from fastx_toolkit_tpu.core import codec
 
-    prof = os.environ.get("FASTX_BENCH_PROFILE")
-    t0 = time.perf_counter()
-    batch = codec.parse(data, filetype=codec.FASTQ_ONLY, q_offset=33)
-    if prof:
-        print("  parse %.3fs" % (time.perf_counter() - t0), file=sys.stderr)
-        t0 = time.perf_counter()
-    n = len(batch)
-    new_len = np.empty(n, np.int32)
-    keep = np.empty(n, bool)
-    # dispatch every chunk before fetching any result: jax dispatch is
-    # async, so device compute overlaps the host-side chunk prep
-    pending = []
-    for s in range(0, n, CHUNK):
-        e = min(s + CHUNK, n)
-        bases = np.asarray(batch.bases[s:e])
-        quals = np.asarray(batch.quals[s:e])
-        lengths = np.asarray(batch.lengths[s:e])
-        counts = np.asarray(batch.counts[s:e])
-        if bases.shape[0] < CHUNK:
-            pad = CHUNK - bases.shape[0]
-            bases = np.pad(bases, ((0, pad), (0, 0)))
-            quals = np.pad(quals, ((0, pad), (0, 0)))
-            lengths = np.pad(lengths, (0, pad))
-            counts = np.pad(counts, (0, pad))
-        pending.append((s, e, fn(bases, quals, lengths, counts)))
-    if prof:
-        t1 = time.perf_counter()
-        print("  dispatch %.3fs" % (t1 - t0), file=sys.stderr)
-    for s, e, (l, k, _count) in pending:
-        nb = e - s
-        new_len[s:e] = np.asarray(l)[:nb]
-        keep[s:e] = np.asarray(k)[:nb]
-    if prof:
-        t2 = time.perf_counter()
-        print("  collect %.3fs" % (t2 - t1), file=sys.stderr)
-
-    # the masker's byte edits and the keep-filter are fused into the
-    # native render loop (zero extra passes)
-    batch.lengths = new_len
-    if prof:
-        t3 = time.perf_counter()
-    payload = codec.render(
-        batch, out_fastq=True, ascii_qual=True, q_offset=33,
-        keep=keep, mask_thr=cfg.mask_q,
+    args = SimpleNamespace(input_filename="<bench>", q_offset=33)
+    reader = BatchReader(
+        None, args, filetype=codec.FASTQ_ONLY,
+        block_bytes=BLOCK_BYTES, stream=io.BytesIO(data),
     )
-    if prof:
-        print("  render %.3fs" % (time.perf_counter() - t3), file=sys.stderr)
-    return n, payload
+
+    blocks_q: "queue.Queue" = queue.Queue()
+    futs_q: "queue.Queue" = queue.Queue(maxsize=32)
+    err = []
+
+    def assemble(pieces, pad_rows=0):
+        """Stack (bases, quals, lengths) pieces of possibly different
+        widths into one chunk, zero-padding narrow pieces on the right
+        and optionally adding pad_rows all-PAD rows at the bottom."""
+        w = max(p[0].shape[1] for p in pieces)
+        cb = np.concatenate(
+            [np.pad(p[0], ((0, 0), (0, w - p[0].shape[1]))) for p in pieces]
+        )
+        cq = np.concatenate(
+            [np.pad(p[1], ((0, 0), (0, w - p[1].shape[1]))) for p in pieces]
+        )
+        cl = np.concatenate([p[2] for p in pieces])
+        if pad_rows:
+            cb = np.pad(cb, ((0, pad_rows), (0, 0)))
+            cq = np.pad(cq, ((0, pad_rows), (0, 0)))
+            cl = np.pad(cl, (0, pad_rows))
+        return cb, cq, cl
+
+    # The tunnel-attached device degrades badly when many transfers are
+    # queued at once (measured ~30x slower than paced transfers), so keep
+    # a small fixed number of chunks in flight: upload of chunk i+1
+    # overlaps compute+readback of chunk i, nothing more.
+    inflight_max = int(os.environ.get("FASTX_BENCH_INFLIGHT", 2))
+
+    def produce():
+        from collections import deque
+
+        carry = []  # [(bases, quals, lengths_i16)] awaiting a full chunk
+        pend = 0
+        inflight = deque()
+
+        def drain_one():
+            nrows, fut = inflight.popleft()
+            l, k = fut[0], fut[1]
+            futs_q.put((nrows, np.asarray(l), np.asarray(k)))
+
+        try:
+            for batch in reader:
+                blocks_q.put(batch)
+                carry.append((
+                    np.asarray(batch.bases),
+                    np.asarray(batch.quals),
+                    np.asarray(batch.lengths, np.int16),
+                ))
+                pend += len(batch)
+                while pend >= CHUNK:
+                    pend -= CHUNK
+                    take, got = [], 0
+                    while got < CHUNK:
+                        b, q, l = carry[0]  # noqa: E741
+                        need = CHUNK - got
+                        if len(b) <= need:
+                            take.append(carry.pop(0))
+                            got += len(b)
+                        else:
+                            take.append((b[:need], q[:need], l[:need]))
+                            carry[0] = (b[need:], q[need:], l[need:])
+                            got = CHUNK
+                    cb, cq, cl = assemble(take)
+                    inflight.append((CHUNK, _dispatch_chunk(cb, cq, cl, fns, cfg)))
+                    if len(inflight) >= inflight_max:
+                        drain_one()
+            if pend:
+                cb, cq, cl = assemble(carry, pad_rows=CHUNK - pend)
+                inflight.append((pend, _dispatch_chunk(cb, cq, cl, fns, cfg)))
+            while inflight:
+                drain_one()
+        except BaseException as e:  # surface in the main thread
+            err.append(e)
+        finally:
+            blocks_q.put(None)
+            futs_q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+
+    # consumer: futures arrive in global read order; fill each block's
+    # decision buffers and render the moment a block completes
+    n_total = 0
+    payloads = []
+    cur = None  # (batch, new_len buf, keep buf, fill pos)
+    spill_len = spill_keep = None  # decision rows awaiting the next block
+
+    def next_block():
+        nonlocal cur, spill_len, spill_keep
+        b = blocks_q.get()
+        if b is None:
+            cur = None
+            return False
+        n = len(b)
+        cur = [b, np.empty(n, np.int32), np.empty(n, bool), 0]
+        if spill_len is not None:
+            take = min(len(spill_len), n)
+            cur[1][:take] = spill_len[:take]
+            cur[2][:take] = spill_keep[:take]
+            cur[3] = take
+            spill_len = spill_len[take:] if take < len(spill_len) else None
+            spill_keep = spill_keep[take:] if spill_len is not None else None
+        return True
+
+    def flush_if_done():
+        nonlocal cur, n_total
+        while cur is not None and cur[3] == len(cur[0]):
+            batch, new_len, keep, _ = cur
+            batch.lengths = new_len
+            # the masker's byte edits and the keep-filter are fused into
+            # the native render loop (zero extra passes)
+            payloads.append(
+                codec.render(
+                    batch, out_fastq=True, ascii_qual=True, q_offset=33,
+                    keep=keep, mask_thr=cfg.mask_q,
+                )
+            )
+            n_total += len(batch)
+            if not next_block():
+                break
+
+    if not next_block():
+        t.join()
+        if err:
+            raise err[0]
+        return 0, b""
+    while True:
+        item = futs_q.get()
+        if item is None:
+            break
+        nrows, l, k = item
+        dlen = l[:nrows]
+        dkeep = k[:nrows]
+        pos = 0
+        while pos < nrows and cur is not None:
+            room = len(cur[0]) - cur[3]
+            take = min(room, nrows - pos)
+            cur[1][cur[3]:cur[3] + take] = dlen[pos:pos + take]
+            cur[2][cur[3]:cur[3] + take] = dkeep[pos:pos + take]
+            cur[3] += take
+            pos += take
+            flush_if_done()
+        if pos < nrows:  # block not parsed yet (can't happen: futures
+            # trail blocks) or stream ended — keep as spill
+            spill_len = dlen[pos:]
+            spill_keep = dkeep[pos:]
+    t.join()
+    if err:
+        raise err[0]
+    return n_total, b"".join(payloads)
 
 
 def main():
@@ -128,7 +275,10 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig, decisions_pipeline
+    from fastx_toolkit_tpu.engine.pipeline import (
+        PipelineConfig,
+        packed_decisions_pipeline,
+    )
 
     dev = jax.devices()[0]
     print("bench device: %s" % dev, file=sys.stderr)
@@ -137,18 +287,22 @@ def main():
     print("lane: %d reads, %d bytes" % (N_READS, len(data)), file=sys.stderr)
 
     cfg = PipelineConfig(adapter=ADAPTER)
-    fn = decisions_pipeline(cfg)
+    fns = (
+        packed_decisions_pipeline(cfg, two_bit=True, has_n_plane=False),
+        packed_decisions_pipeline(cfg, two_bit=True),
+        packed_decisions_pipeline(cfg),
+    )
 
     # warmup (compile) on a small lane; padding makes the device shape
     # identical to the timed runs so the executable is reused
     t0 = time.perf_counter()
-    run_once(synth_lane_bytes(2048, READ_LEN, seed=7), fn, cfg)
+    run_once(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg)
     print("warmup %.1fs" % (time.perf_counter() - t0), file=sys.stderr)
 
     times = []
-    for it in range(3):
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 5))):
         t0 = time.perf_counter()
-        n, payload = run_once(data, fn, cfg)
+        n, payload = run_once(data, fns, cfg)
         dt = time.perf_counter() - t0
         times.append(dt)
         print(

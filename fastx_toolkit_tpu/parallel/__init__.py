@@ -3,5 +3,6 @@ from .mesh import (  # noqa: F401
     shard_batch,
     sharded_stats,
     sharded_pipeline,
+    sharded_packed_pipeline,
     distributed_init,
 )

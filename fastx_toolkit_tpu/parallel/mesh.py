@@ -133,6 +133,38 @@ def sharded_pipeline(mesh: Mesh, *, adapter: bytes = b"CTGTAGGCACCATCAAT",
     return jax.jit(sharded)
 
 
+def sharded_packed_pipeline(mesh: Mesh, cfg=None, *, two_bit: bool = True,
+                            has_n_plane: Optional[bool] = None,
+                            seq_len: Optional[int] = None):
+    """sharded_pipeline over the packed host->device representation
+    (engine.pipeline.pack_batch/pack_batch2: 2- or 4-bit bases + 1-bit
+    quality threshold planes).  On a pod each host packs its own input
+    shard, so the per-host PCIe/ICI feed carries ~4x fewer bytes; the
+    device step unpacks with a few VPU ops and psums the stats counts
+    over 'data' exactly like the unpacked variant.
+
+    Returns a jitted fn (packed_bases, planes, lengths, counts) ->
+    (new_lengths, keep, stats_count)."""
+    from ..engine.pipeline import PipelineConfig, packed_pipeline_body
+
+    if cfg is None:
+        cfg = PipelineConfig(with_stats=True)
+
+    def _shard_body(b, p, l, c):  # noqa: E741
+        return packed_pipeline_body(b, p, l, c, cfg, psum_axis="data",
+                                    two_bit=two_bit, has_n_plane=has_n_plane,
+                                    seq_len=seq_len)
+
+    sharded = jax.shard_map(
+        _shard_body,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def sharded_collapse(mesh: Mesh, words, counts, first_idx):
     """fastx_collapser over a device mesh.
 

@@ -65,6 +65,35 @@ def test_sharded_pipeline_runs_and_matches():
     np.testing.assert_array_equal(np.asarray(stat), np.asarray(stat1))
 
 
+def test_sharded_packed_pipeline_matches_unpacked():
+    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig, pack_batch2
+    from fastx_toolkit_tpu.parallel import sharded_packed_pipeline
+
+    bases, quals, lengths, counts = _batch()
+    cfg = PipelineConfig(adapter=b"CCTTAAGG", trim_last=30, filter_q=10,
+                         filter_p=50, trim_q=5, trim_minlen=10, mask_q=3,
+                         clip_minlen=5, with_stats=True)
+    mesh = data_mesh(8)
+    fn = sharded_pipeline(
+        mesh, adapter=b"CCTTAAGG", trim_last=30, filter_q=10, filter_p=50,
+        trim_q=5, trim_minlen=10, mask_q=3, clip_minlen=5,
+    )
+    sb = shard_batch(mesh, bases, quals, lengths, counts)
+    _, _, l_ref, keep_ref, stat_ref = fn(*sb)
+
+    b2, planes = pack_batch2(bases, quals, cfg)
+    pfn = sharded_packed_pipeline(mesh, cfg, seq_len=bases.shape[1])
+    spb = shard_batch(mesh, b2, planes, lengths.astype(np.int16), counts)
+    l, keep, stat = pfn(*spb)
+    # unpacked zeroes lengths of dropped reads after the keep-mask; both
+    # must agree on keep, surviving lengths, and the psum'd stats counts
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+    l_ref2 = np.where(np.asarray(keep_ref), np.asarray(l_ref), 0)
+    got = np.where(np.asarray(keep), np.asarray(l), 0)
+    np.testing.assert_array_equal(got, l_ref2)
+    np.testing.assert_array_equal(np.asarray(stat), np.asarray(stat_ref))
+
+
 def test_sharded_collapse_matches_single():
     from fastx_toolkit_tpu.ops import collapse as C
     from fastx_toolkit_tpu.parallel.mesh import sharded_collapse
