@@ -72,14 +72,14 @@ def _dispatch_chunk(bases, quals, lengths, fns, cfg):
     otherwise; 1-bit quality planes and int16 lengths either way.  The
     headline config needs no counts upload (stats off)."""
     from fastx_toolkit_tpu.engine.pipeline import (
-        chunk_is_acgtn,
         pack_batch,
         pack_batch2,
+        scan_alphabet,
     )
 
     fn2_clean, fn2, fn4 = fns
-    if chunk_is_acgtn(bases):
-        has_n = bool((bases == ord("N")).any())
+    pure, has_n = scan_alphabet(bases)
+    if pure:
         b2, planes = pack_batch2(bases, quals, cfg, n_plane=has_n)
         fn = fn2 if has_n else fn2_clean
         return fn(b2, planes, lengths)

@@ -68,6 +68,13 @@ def _load():
     lib.fx_index_lines.restype = ctypes.c_int64
     lib.fx_gather_flat.argtypes = [_u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
                                    _u8p, ctypes.c_int]
+    lib.fx_scan_alphabet.argtypes = [_u8p, ctypes.c_int64]
+    lib.fx_scan_alphabet.restype = ctypes.c_int32
+    lib.fx_pack2.argtypes = [_u8p, _i8p, ctypes.c_int64, ctypes.c_int64,
+                             _i8p, ctypes.c_int, ctypes.c_int, _u8p, _u8p,
+                             ctypes.c_int]
+    lib.fx_pack4.argtypes = [_u8p, _i8p, ctypes.c_int64, ctypes.c_int64,
+                             _i8p, ctypes.c_int, _u8p, _u8p, ctypes.c_int]
     return lib
 
 
@@ -167,6 +174,37 @@ def index_lines(buf: np.ndarray):
     count = LIB.fx_index_lines(ptr(buf, _u8p), n, ptr(starts, _i64p),
                                ctypes.byref(has_cr))
     return starts[:count], bool(has_cr.value)
+
+
+def scan_alphabet(bases: np.ndarray) -> tuple[bool, bool]:
+    """(pure_acgtn, has_n) over a [B, L] uint8 base matrix, one pass."""
+    flags = int(LIB.fx_scan_alphabet(ptr(bases, _u8p), bases.size))
+    return bool(flags & 1), bool(flags & 2)
+
+
+def pack2(bases, quals, thresholds, include_nplane: bool):
+    """Fused 2-bit pack: -> (b2 [B, ceil(L/4)], planes [B, P, ceil(L/8)]);
+    bit/byte layout identical to the numpy path in engine/pipeline.py."""
+    n, L = bases.shape
+    thr = np.asarray(thresholds, np.int8)
+    n_planes = len(thr) + (1 if include_nplane else 0)
+    b2 = np.empty((n, (L + 3) // 4), np.uint8)
+    planes = np.empty((n, n_planes, (L + 7) // 8), np.uint8)
+    LIB.fx_pack2(ptr(bases, _u8p), ptr(quals, _i8p), n, L, ptr(thr, _i8p),
+                 len(thr), 1 if include_nplane else 0, ptr(b2, _u8p),
+                 ptr(planes, _u8p), 0)
+    return b2, planes
+
+
+def pack4(bases, quals, thresholds):
+    """Fused 4-bit pack: -> (b4 [B, ceil(L/2)], planes [B, T, ceil(L/8)])."""
+    n, L = bases.shape
+    thr = np.asarray(thresholds, np.int8)
+    b4 = np.empty((n, (L + 1) // 2), np.uint8)
+    planes = np.empty((n, len(thr), (L + 7) // 8), np.uint8)
+    LIB.fx_pack4(ptr(bases, _u8p), ptr(quals, _i8p), n, L, ptr(thr, _i8p),
+                 len(thr), ptr(b4, _u8p), ptr(planes, _u8p), 0)
+    return b4, planes
 
 
 def gather_flat(buf, starts, lens):

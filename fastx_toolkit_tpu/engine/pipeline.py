@@ -155,7 +155,16 @@ for _ch in b"\0ACGTN":
 
 def chunk_is_acgtn(bases: np.ndarray) -> bool:
     """True iff every byte is PAD/A/C/G/T/N (the 2-bit pack domain)."""
-    return bool(_IS_ACGTN[bases].all())
+    return scan_alphabet(bases)[0]
+
+
+def scan_alphabet(bases: np.ndarray) -> tuple[bool, bool]:
+    """(pure_acgtn, has_n) for a chunk, one pass (native when available)."""
+    if _native_ok(bases):
+        from ..core import native
+
+        return native.scan_alphabet(bases)
+    return bool(_IS_ACGTN[bases].all()), bool((bases == ord("N")).any())
 
 
 def pack_batch2(bases: np.ndarray, quals: np.ndarray, cfg: PipelineConfig,
@@ -164,7 +173,13 @@ def pack_batch2(bases: np.ndarray, quals: np.ndarray, cfg: PipelineConfig,
     (A=0 C=1 G=2 T=3; N/PAD positions carry garbage), planes ->
     [B, 1+T, ceil(L/8)] with plane 0 = `base == N` and planes 1.. the
     `qual < t` thresholds of pack_batch.  With ``n_plane=False`` (chunk
-    verified N-free) the N plane is omitted entirely."""
+    verified N-free) the N plane is omitted entirely.  Uses the fused
+    one-pass C++ kernel when available (fx_pack2); the numpy fallback is
+    layout-identical."""
+    if _native_ok(bases, quals):
+        from ..core import native
+
+        return native.pack2(bases, quals, _thresholds(cfg), n_plane)
     B, L = bases.shape  # noqa: E741
     codes = np.clip(_CODE_LUT[bases].astype(np.int16) - 1, 0, 3).astype(np.uint8)
     rem = (-L) % 4
@@ -201,10 +216,24 @@ def _unpack2(b2, planes, has_n_plane: bool = True):
     return bases, all_planes
 
 
+def _native_ok(*arrays) -> bool:
+    from ..core import native
+
+    return native.LIB is not None and all(
+        a.flags["C_CONTIGUOUS"] for a in arrays
+    )
+
+
 def pack_batch(bases: np.ndarray, quals: np.ndarray, cfg: PipelineConfig):
     """Host side: bases -> 4-bit codes [B, ceil(L/2)] uint8, quals -> one
     `qual < t` bit-plane per distinct threshold [B, T, ceil(L/8)] uint8
-    (numpy packbits, MSB-first)."""
+    (MSB-first).  Uses the fused one-pass C++ kernel when available
+    (native/fastx_codec.cpp fx_pack4); the numpy fallback is
+    layout-identical (tests/test_packed.py)."""
+    if _native_ok(bases, quals):
+        from ..core import native
+
+        return native.pack4(bases, quals, _thresholds(cfg))
     B, L = bases.shape  # noqa: E741
     codes = _CODE_LUT[bases]
     if L % 2:

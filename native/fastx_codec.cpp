@@ -243,3 +243,130 @@ void fx_gather_flat(const uint8_t* buf, const int64_t* starts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused device-upload packing (engine/pipeline.py pack_batch/pack_batch2).
+// One pass over the chunk instead of numpy's LUT-gather + shift + packbits
+// chain (~6 passes); threaded over rows.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// One fast scan: bit0 set iff every byte is PAD/A/C/G/T/N (2-bit domain),
+// bit1 set iff any byte is 'N'.
+int32_t fx_scan_alphabet(const uint8_t* bases, int64_t total) {
+  bool pure = true, has_n = false;
+  static bool is_acgtn[256] = {false};
+  static bool init = false;
+  if (!init) {
+    is_acgtn[0] = is_acgtn['A'] = is_acgtn['C'] = is_acgtn['G'] =
+        is_acgtn['T'] = is_acgtn['N'] = true;
+    init = true;
+  }
+  for (int64_t i = 0; i < total; i++) {
+    uint8_t b = bases[i];
+    pure &= is_acgtn[b];
+    has_n |= (b == 'N');
+  }
+  return (pure ? 1 : 0) | (has_n ? 2 : 0);
+}
+
+// 2-bit pack (pure-ACGTN chunks): bases[n,L] -> b2[n,ceil(L/4)] with
+// A=0 C=1 G=2 T=3 (others 0); planes[n, P, ceil(L/8)] with optional
+// plane 0 = (base=='N') then one `qual < t` plane per threshold,
+// MSB-first like np.packbits.
+void fx_pack2(const uint8_t* bases, const int8_t* quals, int64_t n,
+              int64_t L, const int8_t* thr, int n_thr, int include_nplane,
+              uint8_t* b2, uint8_t* planes, int nthreads) {
+  static uint8_t code2[256] = {0};
+  static bool init = false;
+  if (!init) {
+    // matches the numpy fallback's clip(code-1, 0, 3): A/PAD->0, C->1,
+    // G->2, T->3; N (a don't-care, overridden by its bit-plane) -> 3
+    code2['C'] = 1; code2['G'] = 2; code2['T'] = 3; code2['N'] = 3;
+    init = true;
+  }
+  const int64_t w2 = (L + 3) / 4;
+  const int64_t w8 = (L + 7) / 8;
+  const int64_t n_planes = n_thr + (include_nplane ? 1 : 0);
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      const uint8_t* brow = bases + i * L;
+      const int8_t* qrow = quals + i * L;
+      uint8_t* orow = b2 + i * w2;
+      for (int64_t j4 = 0; j4 < w2; j4++) {
+        uint8_t v = 0;
+        int64_t j = j4 * 4;
+        int64_t lim = (j + 4 <= L) ? 4 : L - j;
+        for (int64_t k = 0; k < lim; k++) v |= code2[brow[j + k]] << (6 - 2 * k);
+        orow[j4] = v;
+      }
+      uint8_t* prow = planes + i * n_planes * w8;
+      int p = 0;
+      if (include_nplane) {
+        for (int64_t j8 = 0; j8 < w8; j8++) {
+          uint8_t v = 0;
+          int64_t j = j8 * 8;
+          int64_t lim = (j + 8 <= L) ? 8 : L - j;
+          for (int64_t k = 0; k < lim; k++) v |= (brow[j + k] == 'N') << (7 - k);
+          prow[j8] = v;
+        }
+        p = 1;
+      }
+      for (int t = 0; t < n_thr; t++, p++) {
+        int8_t tv = thr[t];
+        uint8_t* pr = prow + p * w8;
+        for (int64_t j8 = 0; j8 < w8; j8++) {
+          uint8_t v = 0;
+          int64_t j = j8 * 8;
+          int64_t lim = (j + 8 <= L) ? 8 : L - j;
+          for (int64_t k = 0; k < lim; k++) v |= (qrow[j + k] < tv) << (7 - k);
+          pr[j8] = v;
+        }
+      }
+    }
+  });
+}
+
+// 4-bit pack (full alphabet): codes 1..12 for "ACGTNUacgtnu", 0 = PAD /
+// unknown; two codes per byte, high nibble first.
+void fx_pack4(const uint8_t* bases, const int8_t* quals, int64_t n,
+              int64_t L, const int8_t* thr, int n_thr, uint8_t* b4,
+              uint8_t* planes, int nthreads) {
+  static uint8_t code4[256] = {0};
+  static bool init = false;
+  if (!init) {
+    const char* alpha = "ACGTNUacgtnu";
+    for (int i = 0; alpha[i]; i++) code4[(uint8_t)alpha[i]] = (uint8_t)(i + 1);
+    init = true;
+  }
+  const int64_t w4 = (L + 1) / 2;
+  const int64_t w8 = (L + 7) / 8;
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      const uint8_t* brow = bases + i * L;
+      const int8_t* qrow = quals + i * L;
+      uint8_t* orow = b4 + i * w4;
+      for (int64_t j2 = 0; j2 < w4; j2++) {
+        int64_t j = j2 * 2;
+        uint8_t hi = code4[brow[j]];
+        uint8_t lo = (j + 1 < L) ? code4[brow[j + 1]] : 0;
+        orow[j2] = (uint8_t)((hi << 4) | lo);
+      }
+      uint8_t* prow = planes + i * (int64_t)n_thr * w8;
+      for (int t = 0; t < n_thr; t++) {
+        int8_t tv = thr[t];
+        uint8_t* pr = prow + t * w8;
+        for (int64_t j8 = 0; j8 < w8; j8++) {
+          uint8_t v = 0;
+          int64_t j = j8 * 8;
+          int64_t lim = (j + 8 <= L) ? 8 : L - j;
+          for (int64_t k = 0; k < lim; k++) v |= (qrow[j + k] < tv) << (7 - k);
+          pr[j8] = v;
+        }
+      }
+    }
+  });
+}
+
+}  // extern "C"

@@ -75,6 +75,48 @@ def test_packed2_matches_unpacked(cfg_i, l):  # noqa: E741
     np.testing.assert_array_equal(np.asarray(ref_count), np.asarray(got_count))
 
 
+def test_native_pack_matches_numpy():
+    """The fused C++ pack kernels must be bit-identical to the numpy
+    reference layout (which the device unpackers invert)."""
+    from fastx_toolkit_tpu.core import native
+    from fastx_toolkit_tpu.engine import pipeline as P
+
+    if native.LIB is None:
+        pytest.skip("native codec unavailable")
+
+    rng = np.random.default_rng(7)
+    for l in (100, 31, 8, 5):  # noqa: E741
+        for lower in (False, True):
+            bases, quals, lengths, _ = _random_batch(rng, 37, l, lowercase=lower)
+            cfg = PipelineConfig(filter_q=25, trim_q=-3, mask_q=90)
+            thr = P._thresholds(cfg)
+            nb4, npl4 = native.pack4(bases, quals, thr)
+            # numpy reference layouts (force the fallback path)
+            codes = P._CODE_LUT[bases]
+            if l % 2:
+                codes = np.concatenate([codes, np.zeros((37, 1), np.uint8)], 1)
+            rb4 = (codes[:, 0::2] << 4) | codes[:, 1::2]
+            rpl4 = np.stack([np.packbits(quals < t, axis=1) for t in thr], 1)
+            np.testing.assert_array_equal(nb4, rb4)
+            np.testing.assert_array_equal(npl4, rpl4)
+        bases, quals, lengths, _ = _random_batch(rng, 37, l)
+        for n_plane in (False, True):
+            nb2, npl2 = native.pack2(bases, quals, thr, n_plane)
+            codes = np.clip(P._CODE_LUT[bases].astype(np.int16) - 1, 0, 3).astype(np.uint8)
+            rem = (-l) % 4
+            if rem:
+                codes = np.concatenate([codes, np.zeros((37, rem), np.uint8)], 1)
+            rb2 = ((codes[:, 0::4] << 6) | (codes[:, 1::4] << 4)
+                   | (codes[:, 2::4] << 2) | codes[:, 3::4])
+            head = [np.packbits(bases == ord("N"), axis=1)] if n_plane else []
+            rpl2 = np.stack(head + [np.packbits(quals < t, axis=1) for t in thr], 1)
+            np.testing.assert_array_equal(nb2, rb2)
+            np.testing.assert_array_equal(npl2, rpl2)
+        pure, has_n = native.scan_alphabet(bases)
+        assert pure
+        assert has_n == bool((bases == ord("N")).any())
+
+
 def test_chunk_is_acgtn_rejects_other_letters():
     from fastx_toolkit_tpu.engine.pipeline import chunk_is_acgtn
 
