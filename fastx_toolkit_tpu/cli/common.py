@@ -274,6 +274,26 @@ def run_tool_main(tool_main: Callable[[CliContext, list], int], argv=None) -> in
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    try:
+        # if the preferred accelerator backend can't initialize (remote
+        # device plugin down, driver mismatch, ...), degrade to CPU with
+        # a warning instead of crashing — output is identical either way
+        import jax
+
+        jax.devices()
+    except RuntimeError:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.devices()
+            print(
+                "%s: accelerator backend unavailable, running on CPU"
+                % os.path.basename(sys.argv[0]),
+                file=sys.stderr,
+            )
+        except Exception:
+            pass
+    except Exception:
+        pass
     ctx = CliContext(prog=os.path.basename(sys.argv[0]))
     args = list(sys.argv[1:] if argv is None else argv)
     try:

@@ -21,6 +21,7 @@ TOOLS = {
     "fasta_nucleotide_changer": "fastx_toolkit_tpu.cli.tools.fasta_nucleotide_changer",
     "fasta_formatter": "fastx_toolkit_tpu.cli.tools.fasta_formatter",
     "fastx_quality_stats": "fastx_toolkit_tpu.cli.tools.fastx_quality_stats",
+    "fastx_pipeline": "fastx_toolkit_tpu.cli.tools.fastx_pipeline",
     "seqalign_test": "fastx_toolkit_tpu.cli.tools.seqalign_test",
     "fastx_barcode_splitter": "fastx_toolkit_tpu.scripts.barcode_splitter",
     "fastq_quality_boxplot_graph": "fastx_toolkit_tpu.scripts.quality_boxplot",

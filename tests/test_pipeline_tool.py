@@ -1,0 +1,116 @@
+"""fastx_pipeline (fused multi-stage device program) must produce the
+same bytes as chaining the individual tools."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastx_toolkit_tpu.cli.tools import (
+    fastq_masker,
+    fastq_quality_filter,
+    fastq_quality_trimmer,
+    fastq_to_fasta,
+    fastx_artifacts_filter,
+    fastx_clipper,
+    fastx_pipeline,
+    fastx_reverse_complement,
+    fastx_trimmer,
+)
+
+from util import run_tool
+
+
+def synth_fastq(n, lmin, lmax, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        L = int(rng.integers(lmin, lmax + 1))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L,
+                               p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        qual = bytes((rng.integers(0, 41, L) + 33).astype(np.uint8))
+        out.append(b"@r%d\n%s\n+\n%s\n" % (i, seq, qual))
+    return b"".join(out)
+
+
+def chain_tools(data, stages):
+    """Run (module, argv) stages sequentially like a shell pipeline."""
+    for mod, argv in stages:
+        r = run_tool(mod, ["-Q", "33"] + argv, data)
+        assert r.status == 0, r.stderr
+        data = r.stdout
+    return data
+
+
+def fused(data, spec, extra=()):
+    r = run_tool(fastx_pipeline, ["-Q", "33", *extra, spec], data)
+    assert r.status == 0, r.stderr
+    return r
+
+
+def test_headline_chain_matches_sequential_tools():
+    # the clipper's standalone CLI emulates the reference's grow-only
+    # stale-matrix buffers across records; the fused pipeline documents
+    # independent-read semantics, so compare against the clean CLI mode
+    os.environ["FASTX_TPU_CLIPPER_CLEAN"] = "1"
+    try:
+        data = synth_fastq(400, 20, 60, seed=11)
+        ref = chain_tools(data, [
+            (fastx_trimmer, ["-l", "50"]),
+            (fastq_quality_filter, ["-q", "20", "-p", "50"]),
+            (fastq_quality_trimmer, ["-t", "20"]),
+            (fastq_masker, ["-q", "20"]),
+            (fastx_clipper, ["-a", "CTGTAGGCACC", "-l", "5", "-n"]),
+            (fastx_artifacts_filter, []),
+        ])
+        got = fused(
+            data,
+            "fastx_trimmer -l 50 | fastq_quality_filter -q 20 -p 50 | "
+            "fastq_quality_trimmer -t 20 | fastq_masker -q 20 | "
+            "fastx_clipper -a CTGTAGGCACC -l 5 -n | fastx_artifacts_filter",
+        )
+        assert got.stdout == ref
+    finally:
+        del os.environ["FASTX_TPU_CLIPPER_CLEAN"]
+
+
+def test_revcomp_and_fasta_stages():
+    data = synth_fastq(150, 10, 40, seed=5)
+    ref = chain_tools(data, [
+        (fastq_quality_trimmer, ["-t", "15"]),
+        (fastx_reverse_complement, []),
+        (fastq_to_fasta, ["-r"]),
+    ])
+    got = fused(
+        data,
+        "fastq_quality_trimmer -t 15 | fastx_reverse_complement | fastq_to_fasta -r",
+    )
+    assert got.stdout == ref
+
+
+def test_verbose_stage_counts():
+    data = synth_fastq(100, 25, 25, seed=7)
+    got = fused(data, "fastx_trimmer -l 20 | fastq_quality_filter -q 39 -p 90",
+                extra=("-v",))
+    rep = got.stderr  # no -o: the report goes to stderr (fastx_args.c:87)
+    assert "Fused pipeline: 2 stages" in rep
+    assert "Input: 100 reads." in rep
+    # the q39/p90 filter is harsh: output must be < input and consistent
+    # with the byte output
+    n_out = got.stdout.count(b"@r")
+    assert ("-> %d reads." % n_out) in rep
+
+
+def test_rejects_quality_stage_after_fasta():
+    data = synth_fastq(10, 20, 20, seed=1)
+    r = run_tool(
+        fastx_pipeline,
+        ["-Q", "33", "fastq_to_fasta | fastq_masker -q 10"],
+        data,
+    )
+    assert r.status != 0
+
+
+def test_rejects_unknown_stage():
+    r = run_tool(fastx_pipeline, ["-Q", "33", "fastx_collapser"], b"@a\nA\n+\n!\n")
+    assert r.status != 0
