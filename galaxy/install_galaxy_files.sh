@@ -17,7 +17,11 @@ cp "$HERE"/fastx_barcode_splitter_galaxy_wrapper.py "$GALAXY_DIR/tools/fastx_too
 cp "$HERE"/fastx_toolkit_tpu_conf.xml "$GALAXY_DIR/"
 mkdir -p "$GALAXY_DIR/tool-data"
 cp "$HERE"/tool-data/fastx_clipper_sequences.txt "$GALAXY_DIR/tool-data/" 2>/dev/null
+mkdir -p "$GALAXY_DIR/test-data"
+cp "$HERE"/test-data/* "$GALAXY_DIR/test-data/" 2>/dev/null
+mkdir -p "$GALAXY_DIR/static/fastx_icons"
+cp "$HERE"/static/fastx_icons/* "$GALAXY_DIR/static/fastx_icons/" 2>/dev/null
 
-echo "Installed. Add fastx_toolkit_tpu_conf.xml to tool_config_file in galaxy.yml,"
-echo "and link the test fixtures from the classic fastx_toolkit test-data"
-echo "directory for the functional tests."
+echo "Installed. Add fastx_toolkit_tpu_conf.xml to tool_config_file in galaxy.yml."
+echo "Functional-test fixtures and goldens are in test-data/ (generated +"
+echo "reference-verified by galaxy/make_test_data.py)."
