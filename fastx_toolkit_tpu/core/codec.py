@@ -450,7 +450,9 @@ def render(
     keep: Optional[np.ndarray] = None,
     mask_thr: Optional[int] = None,
     mask_char: int = ord("N"),
-) -> bytes:
+    out: Optional[np.ndarray] = None,
+    out_off: int = 0,
+):
     """Render a batch to FASTA/FASTQ bytes, matching fastx_write_record
     (fastx.c:440-473) byte for byte.
 
@@ -458,10 +460,17 @@ def render(
     ``mask_thr`` applies the fastq_masker byte edit (quality < thr ->
     mask_char) during the copy.  Both are free in the native render loop;
     the numpy fallback applies them as pre-passes.
+
+    ``out``/``out_off`` (native paths only): render into a preallocated
+    uint8 arena at the given offset and return the byte count instead of
+    a bytes object — streaming callers render a whole lane into one
+    buffer with zero intermediate copies.
     """
     n = len(batch)
     if n == 0:
-        return b""
+        return 0 if out is not None else b""
+    if out is not None and native.LIB is None:
+        raise ValueError("out= arena rendering requires the native codec")
     if native.LIB is None and (keep is not None or mask_thr is not None):
         # fallback: materialize the edits, then render normally
         if mask_thr is not None:
@@ -497,7 +506,8 @@ def render(
                 m = (quals8 < mask_thr) & (col[None, :] < lens32[:, None])
                 seq_mat = np.where(m, np.uint8(mask_char), seq_mat)
             return native.render_fasta(
-                seq_mat, lens32, batch.names.buf, batch.names.offs, keep=keep
+                seq_mat, lens32, batch.names.buf, batch.names.offs, keep=keep,
+                out=out, out_off=out_off,
             )
         ascii_all = (
             bool(ascii_qual) if np.isscalar(ascii_qual) else bool(np.asarray(ascii_qual).all())
@@ -515,9 +525,14 @@ def render(
             return native.render_fastq(
                 seq_mat, quals8, lens32, batch.names.buf, batch.names.offs,
                 n2.buf, n2.offs, q_offset, keep=keep, mask_thr=mask_thr,
-                mask_char=mask_char,
+                mask_char=mask_char, out=out, out_off=out_off,
             )
 
+    if out is not None:
+        raise ValueError(
+            "out= arena rendering is only supported on the native "
+            "ASCII-quality fast paths"
+        )
     if keep is not None or mask_thr is not None:
         # remaining paths (numpy assembly / numeric-qual records) don't
         # fuse the edits; materialize them and re-render

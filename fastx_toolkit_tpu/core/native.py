@@ -115,12 +115,28 @@ def quals_from_ascii(buf, starts, lens, width, q_offset):
     return out, int(bad)
 
 
+def _out_span(total, out, out_off):
+    """Destination pointer for a render: a fresh array, or a span of a
+    caller-provided uint8 arena (zero-copy streaming output)."""
+    if out is None:
+        buf = np.empty(total, np.uint8)
+        return buf, ptr(buf, _u8p)
+    if out_off + total > out.nbytes:
+        raise ValueError("render arena too small")
+    return None, ctypes.cast(out.ctypes.data + out_off, _u8p)
+
+
 def render_fastq(bases, quals, lens, name_buf, name_offs, name2_buf,
                  name2_offs, q_offset, keep=None, mask_thr=None,
-                 mask_char=ord("N")) -> bytes:
+                 mask_char=ord("N"), out=None, out_off=0):
     """Assemble FASTQ bytes; optionally skip records where keep is
     False, and apply quality masking (quals < mask_thr -> mask_char)
-    during the copy."""
+    during the copy.
+
+    Returns bytes, or — when ``out`` (a preallocated 1-D uint8 arena) is
+    given — writes at ``out[out_off:]`` and returns the byte count, so a
+    whole multi-block stream renders into one buffer with no copies.
+    """
     n = bases.shape[0]
     width = bases.shape[1]
     name_lens = np.diff(name_offs)
@@ -132,20 +148,22 @@ def render_fastq(bases, quals, lens, name_buf, name_offs, name2_buf,
         sizes = np.where(keep_arr != 0, sizes, 0)
     rec_offs = np.zeros(n + 1, np.int64)
     np.cumsum(sizes, out=rec_offs[1:])
-    out = np.empty(rec_offs[-1], np.uint8)
+    total = int(rec_offs[-1])
+    buf, dst = _out_span(total, out, out_off)
     LIB.fx_render_fastq(
         ptr(bases, _u8p), ptr(quals, _i8p), ptr(lens, _i32p), n, width,
         ptr(name_buf, _u8p), ptr(name_offs, _i64p),
         ptr(name2_buf, _u8p), ptr(name2_offs, _i64p),
-        ptr(rec_offs, _i64p), q_offset, ptr(out, _u8p),
+        ptr(rec_offs, _i64p), q_offset, dst,
         ptr(keep_arr, _u8p) if keep_arr is not None else None,
         0 if mask_thr is None else 1,
         0 if mask_thr is None else int(mask_thr), mask_char, 0,
     )
-    return out.tobytes()
+    return buf.tobytes() if out is None else total
 
 
-def render_fasta(bases, lens, name_buf, name_offs, keep=None) -> bytes:
+def render_fasta(bases, lens, name_buf, name_offs, keep=None,
+                 out=None, out_off=0):
     n = bases.shape[0]
     width = bases.shape[1]
     name_lens = np.diff(name_offs)
@@ -156,14 +174,15 @@ def render_fasta(bases, lens, name_buf, name_offs, keep=None) -> bytes:
         sizes = np.where(keep_arr != 0, sizes, 0)
     rec_offs = np.zeros(n + 1, np.int64)
     np.cumsum(sizes, out=rec_offs[1:])
-    out = np.empty(rec_offs[-1], np.uint8)
+    total = int(rec_offs[-1])
+    buf, dst = _out_span(total, out, out_off)
     LIB.fx_render_fasta(
         ptr(bases, _u8p), ptr(lens, _i32p), n, width,
         ptr(name_buf, _u8p), ptr(name_offs, _i64p), ptr(rec_offs, _i64p),
-        ptr(out, _u8p),
+        dst,
         ptr(keep_arr, _u8p) if keep_arr is not None else None, 0,
     )
-    return out.tobytes()
+    return buf.tobytes() if out is None else total
 
 
 def index_lines(buf: np.ndarray):
