@@ -192,32 +192,45 @@ def errx(ctx: CliContext, message: str) -> "NoReturn":  # noqa: F821
     raise ExitWithStatus(1)
 
 
-def read_input(ctx: CliContext, common: CommonArgs) -> bytes:
-    if common.input_filename == "-" or common.input_filename.startswith("-"):
-        # fastx.c:180 uses strncmp(filename, "-", 1): any name starting
-        # with '-' means stdin
-        return ctx.stdin.read()
-    try:
-        with open(common.input_filename, "rb") as f:
-            return f.read()
-    except OSError as e:
-        print(
-            "%s: failed to open input file '%s': %s"
-            % (ctx.prog, common.input_filename, e.strerror),
-            file=ctx.stderr,
-        )
-        raise ExitWithStatus(1)
+class _NullBinaryStream:
+    """Swallows output on non-primary processes of a merged writer."""
+
+    def write(self, data) -> int:
+        return len(data)
+
+    def close(self) -> None:
+        pass
 
 
 class OutputWriter:
     """File/stdout writer with optional gzip child, like
-    open_output_compressor (fastx.c:214-248)."""
+    open_output_compressor (fastx.c:214-248).
 
-    def __init__(self, ctx: CliContext, common: CommonArgs):
+    Multi-host roles: ``role="shard"`` (per-read streaming tools) makes
+    each process write its own record-range shard — file outputs get a
+    ``.shard-<k>-of-<n>`` suffix whose in-order concatenation equals the
+    single-process output; stdout outputs go to each process's own
+    stdout.  ``role="merged"`` (global operators: stats, collapser) has
+    only process 0 write the collectively merged result to the plain
+    filename; in shard-only mode (no process group to merge over) the
+    partial result is written per shard like role="shard".
+    """
+
+    def __init__(self, ctx: CliContext, common: CommonArgs, role: str = "shard"):
+        from ..parallel import multihost
+
         self.ctx = ctx
         self._gzip = None
         self._file = None
         filename = common.output_filename
+        info = multihost.shard_info()
+        if info.active:
+            if role == "merged" and info.collective:
+                if not info.is_primary:
+                    self.stream = _NullBinaryStream()
+                    return
+            elif filename != "-":
+                filename = multihost.shard_suffix(filename, info)
         if common.compress:
             if filename == "-":
                 self._gzip = subprocess.Popen(["gzip"], stdin=subprocess.PIPE, stdout=ctx.stdout)
@@ -256,11 +269,24 @@ class OutputWriter:
 
 
 def report_stream(ctx: CliContext, common: CommonArgs):
+    from ..parallel import multihost
+
+    info = multihost.shard_info()
+    if info.active and info.collective and not info.is_primary:
+        # counters are allsum'd across the process group; only process 0
+        # prints the (globally merged) report.  Shard-only mode instead
+        # keeps per-shard reports on each process's own stderr/stdout.
+        return multihost.NullTextStream()
     return ctx.stdout_text if common.report_to_stdout else ctx.stderr
 
 
 def run_tool_main(tool_main: Callable[[CliContext, list], int], argv=None) -> int:
     """Process-level wrapper: maps FastxError/ExitWithStatus to exit codes."""
+    from ..parallel import multihost
+
+    # multi-host process group (FASTX_TPU_COORDINATOR/...) must come up
+    # before any jax backend is touched
+    multihost.initialize()
     try:
         # persistent compile cache: repeated CLI invocations on TPU reuse
         # jitted programs instead of recompiling per process

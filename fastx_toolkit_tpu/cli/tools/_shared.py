@@ -7,18 +7,6 @@ from ...core.records import ReadBatch
 from .. import common
 
 
-def load_batch(ctx, args, *, filetype, allow_n=True, allow_u=False):
-    data = common.read_input(ctx, args)
-    return codec.parse(
-        data,
-        filetype=filetype,
-        allow_n=allow_n,
-        allow_u=allow_u,
-        q_offset=args.q_offset,
-        input_name=args.input_filename,
-    )
-
-
 def render_same_as_input(args, batch: ReadBatch) -> bytes:
     """OUTPUT_SAME_AS_INPUT rendering to bytes (streaming-friendly)."""
     return codec.render(
@@ -63,6 +51,14 @@ class BatchReader:
     Format is detected from the first block (fastx.c:86-116 semantics);
     per-chunk parses carry absolute line numbers so validation errors
     match the reference byte for byte regardless of chunking.
+
+    Multi-host/sharded runs (parallel.multihost active): the input file
+    is split by byte ranges — this reader owns
+    ``[resync(k*size/N), resync((k+1)*size/N))``, resynced to record
+    boundaries, so every record belongs to exactly one process and the
+    shards concatenate in file order.  Requires a seekable input file;
+    format is detected once from the file head so all shards agree.
+    Validation-error line numbers are shard-local in this mode.
     """
 
     def __init__(self, ctx, args, *, filetype, allow_n=True, allow_u=False,
@@ -97,6 +93,40 @@ class BatchReader:
 
                 raise ExitWithStatus(1)
         self.is_fastq = None
+        from ...parallel import multihost as _mh
+
+        self._shard = _mh.shard_info()
+        self._shard_start = self._shard_end = None
+        if self._shard.active:
+            self._init_shard_range(_mh)
+
+    def _init_shard_range(self, mh):
+        import os as _os
+
+        from ...core.errors import FastxError
+
+        f = self._stream
+        if (
+            f is self.ctx.stdin
+            or not (hasattr(f, "seekable") and f.seekable())
+            or not hasattr(f, "fileno")
+        ):
+            raise FastxError(
+                "sharded/multi-host input requires a seekable input file "
+                "(-i FILE), not STDIN or a pipe"
+            )
+        size = _os.fstat(f.fileno()).st_size
+        f.seek(0)
+        head = f.read(min(size, 1 << 16))
+        # format decided from the file head so every shard agrees; an
+        # empty file raises the reference's premature-EOF error here
+        self.is_fastq = self._codec.detect_format(
+            head, self.args.input_filename, self.filetype
+        )
+        self._shard_start, self._shard_end = mh.shard_byte_range(
+            f, size, self.is_fastq, self._shard
+        )
+        f.seek(self._shard_start)
 
     def __iter__(self):
         import numpy as _np
@@ -105,8 +135,21 @@ class BatchReader:
         carry = b""
         line_base = 0
         first = True
+        remaining = None
+        if self._shard.active:
+            first = False  # format already detected from the file head
+            remaining = self._shard_end - self._shard_start
+            if remaining <= 0:
+                return
         while True:
-            block = self._stream.read(self.block_bytes)
+            want = (
+                self.block_bytes
+                if remaining is None
+                else min(self.block_bytes, remaining)
+            )
+            block = self._stream.read(want) if want > 0 else b""
+            if remaining is not None:
+                remaining -= len(block)
             data = carry + block if carry else block
             if first:
                 if not data:

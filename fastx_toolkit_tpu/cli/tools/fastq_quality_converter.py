@@ -8,6 +8,7 @@ from __future__ import annotations
 import sys
 
 from ...core import codec
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext
 from . import _shared
@@ -49,6 +50,7 @@ def tool_main(ctx: CliContext, argv) -> int:
     writer.close()
 
     if args.verbose:
+        (n,) = multihost.allsum(n)
         rep = common.report_stream(ctx, args)
         _shared.in_out_report(rep, n, n)
     return 0

@@ -13,6 +13,7 @@ import numpy as np
 from ...core import codec
 from ...engine.pipeline import to_device
 from ...ops import transforms
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext, errx
 from . import _shared
@@ -66,6 +67,7 @@ def tool_main(ctx: CliContext, argv) -> int:
     writer.close()
 
     if args.verbose:
+        n_in, n_out = multihost.allsum(n_in, n_out)
         rep = common.report_stream(ctx, args)
         rep.write("Quality cut-off: %d\n" % st["q"])
         rep.write("Minimum percentage: %d\n" % st["p"])

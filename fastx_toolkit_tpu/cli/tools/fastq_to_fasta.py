@@ -16,6 +16,7 @@ from ...core import codec
 from ...core.records import StringColumn
 from ...engine.pipeline import to_device
 from ...ops import transforms
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext
 from . import _shared
@@ -68,6 +69,7 @@ def tool_main(ctx: CliContext, argv) -> int:
     writer.close()
 
     if args.verbose:
+        n_in, n_out = multihost.allsum(n_in, n_out)
         rep = common.report_stream(ctx, args)
         rep.write("Input: %d reads.\n" % n_in)
         rep.write("Output: %d reads.\n" % n_out)

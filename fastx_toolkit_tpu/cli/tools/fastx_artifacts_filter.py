@@ -13,6 +13,7 @@ import numpy as np
 from ...core import codec
 from ...engine.pipeline import to_device
 from ...ops import transforms
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext
 from . import _shared
@@ -50,6 +51,7 @@ def tool_main(ctx: CliContext, argv) -> int:
     writer.close()
 
     if args.verbose:
+        n_in, n_out = multihost.allsum(n_in, n_out)
         rep = common.report_stream(ctx, args)
         _shared.in_out_report(rep, n_in, n_out)
         discarded = n_in - n_out

@@ -12,6 +12,7 @@ import numpy as np
 from ...core import codec
 from ...engine.pipeline import to_device
 from ...ops import clipper
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext, errx
 from . import _shared
@@ -158,6 +159,9 @@ def tool_main(ctx: CliContext, argv) -> int:
     writer.close()
 
     if args.verbose:
+        n_in, n_short, n_nonclip, n_clip, n_n, n_zero = multihost.allsum(
+            n_in, n_short, n_nonclip, n_clip, n_n, n_zero
+        )
         rep = common.report_stream(ctx, args)
         rep.write("Clipping Adapter: %s\n" % st["adapter"])
         rep.write("Min. Length: %d\n" % st["min_length"])

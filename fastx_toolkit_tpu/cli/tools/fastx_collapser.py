@@ -16,6 +16,7 @@ from ...core import codec
 from ...core.records import ReadBatch, StringColumn
 from ...engine.pipeline import to_device
 from ...ops import collapse
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext
 from . import _shared
@@ -65,6 +66,26 @@ def tool_main(ctx: CliContext, argv) -> int:
         n_in_reads += int(batch.counts.sum())
         rec_base += nb
 
+    # multi-host: each process collapsed its own byte-range shard; shift
+    # first-appearance indices by the global record offset (shards are
+    # file-ordered), allgather the (seq -> count, first) tables and merge
+    # associatively — every process ends with the identical global table,
+    # so the rank/count/tie-break order matches a single-process run.
+    info = multihost.shard_info()
+    if info.active and info.collective:
+        offset = multihost.global_record_offset(rec_base)
+        local = [(s, c, f + offset) for s, (c, f) in table.items()]
+        table = {}
+        for part in multihost.allgather_object(local):
+            for s, c, f in part:
+                ent = table.get(s)
+                if ent is None:
+                    table[s] = [c, f]
+                else:
+                    ent[0] += c
+                    ent[1] = min(ent[1], f)
+        n_in_seq, n_in_reads = multihost.allsum(n_in_seq, n_in_reads)
+
     seqs = list(table.keys())
     uniq_counts = np.array([table[s][0] for s in seqs], np.int64)
     uniq_first = np.array([table[s][1] for s in seqs], np.int64)
@@ -90,7 +111,7 @@ def tool_main(ctx: CliContext, argv) -> int:
         names2=None,
         is_fastq=False,
     )
-    writer = common.OutputWriter(ctx, args)
+    writer = common.OutputWriter(ctx, args, role="merged")
     writer.write(codec.render(out, out_fastq=False))
     writer.close()
 

@@ -43,6 +43,7 @@ from ...core import codec
 from ...engine.pipeline import to_device
 from ...ops import transforms
 from ...ops.clipper import clip_batch
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext, errx
 from . import _shared
@@ -314,6 +315,8 @@ def tool_main(ctx: CliContext, argv) -> int:
     if step is None:
         return 0
     if args.verbose:
+        summed = multihost.allsum(n_in, *[int(t) for t in stage_totals])
+        n_in, stage_totals = summed[0], list(summed[1:])
         rep = common.report_stream(ctx, args)
         rep.write("Fused pipeline: %d stages, one device program.\n" % len(cfgs))
         rep.write("Input: %d reads.\n" % n_in)

@@ -12,11 +12,14 @@ import sys
 
 import numpy as np
 
+import dataclasses
+
 from ...core import codec
 from ...engine.pipeline import to_device
 from ...ops import stats as stats_ops
+from ...parallel import multihost
 from .. import common
-from ..common import CliContext, ExitWithStatus
+from ..common import CliContext
 from . import _shared
 
 USAGE = (
@@ -86,24 +89,22 @@ def tool_main(ctx: CliContext, argv) -> int:
         )
         acc.merge_partial(*[np.asarray(p) for p in parts])
 
+    # multi-host: every process accumulated its own input shard; the
+    # histograms merge with +/min/max across the process group and only
+    # process 0 renders (byte-identical to a single-process run)
+    acc = multihost.merge_stats_accumulators(acc)
     text = (
         stats_ops.render_new_format(acc)
         if st["new_format"]
         else stats_ops.render_old_format(acc)
     )
-    if args.output_filename == "-":
-        ctx.stdout.write(text.encode())
-    else:
-        try:
-            with open(args.output_filename, "w") as f:
-                f.write(text)
-        except OSError as e:
-            print(
-                "%s: Failed to create output file (%s): %s"
-                % (ctx.prog, args.output_filename, e.strerror),
-                file=ctx.stderr,
-            )
-            raise ExitWithStatus(1)
+    # the reference writes stats through plain fopen — -z is accepted but
+    # never compresses here (fastx_quality_stats.c:443-448)
+    writer = common.OutputWriter(
+        ctx, dataclasses.replace(args, compress=False), role="merged"
+    )
+    writer.write(text.encode())
+    writer.close()
     return 0
 
 

@@ -12,6 +12,7 @@ import numpy as np
 
 from ...core import codec
 from ...core.records import StringColumn
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext, errx
 from . import _shared
@@ -67,6 +68,7 @@ def tool_main(ctx: CliContext, argv) -> int:
     writer.close()
 
     if args.verbose:
+        (n,) = multihost.allsum(n)
         rep = common.report_stream(ctx, args)
         rep.write("Renamed: %d reads.\n" % n)
     return 0

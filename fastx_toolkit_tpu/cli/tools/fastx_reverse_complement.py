@@ -13,6 +13,7 @@ import numpy as np
 from ...core import codec
 from ...engine.pipeline import to_device
 from ...ops import transforms
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext
 from . import _shared
@@ -46,6 +47,7 @@ def tool_main(ctx: CliContext, argv) -> int:
     writer.close()
 
     if args.verbose:
+        (n,) = multihost.allsum(n)
         rep = common.report_stream(ctx, args)
         rep.write("Printing Reverse-Complement Sequences.\n")
         _shared.in_out_report(rep, n, n)

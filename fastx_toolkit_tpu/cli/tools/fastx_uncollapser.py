@@ -12,6 +12,7 @@ import numpy as np
 
 from ...core import codec
 from ...core.records import StringColumn
+from ...parallel import multihost
 from .. import common
 from ..common import CliContext, ExitWithStatus, errx
 from . import _shared
@@ -54,6 +55,16 @@ def _uncollapse_fasta(ctx, args):
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_ONLY)
     writer = common.OutputWriter(ctx, args)
     n_in_seq = n_reads = n_out = 0
+    info = multihost.shard_info()
+    if info.active and info.collective:
+        # output IDs are globally sequential read ordinals, so each shard
+        # must know the total read count of all earlier shards: cheap
+        # counting pre-pass over this shard, then an exclusive prefix sum
+        local_reads = 0
+        for batch in _shared.BatchReader(ctx, args, filetype=codec.FASTA_ONLY):
+            local_reads += int(np.asarray(batch.counts, dtype=np.int64).sum())
+        n_out = multihost.global_record_offset(local_reads)
+    id_base = n_out
     for batch in reader:
         counts = np.asarray(batch.counts, dtype=np.int64)
         idx = np.repeat(np.arange(len(batch)), counts)
@@ -69,42 +80,99 @@ def _uncollapse_fasta(ctx, args):
     writer.close()
 
     if args.verbose:
+        n_in_seq, n_reads, n_emitted = multihost.allsum(
+            n_in_seq, n_reads, n_out - id_base
+        )
         rep = common.report_stream(ctx, args)
         rep.write(
             "Input: %d sequences (representing %d reads)\n" % (n_in_seq, n_reads)
         )
         rep.write(
-            "Output: %d sequences (representing %d reads)\n" % (n_out, n_reads)
+            "Output: %d sequences (representing %d reads)\n" % (n_emitted, n_reads)
         )
 
 
-def _uncollapse_tabular(ctx, args, column: int):
-    data = common.read_input(ctx, args)
-    lines = data.split(b"\n")
-    if lines and lines[-1] == b"":
-        lines.pop()
-    out = []
-    input_count = 0
-    output_count = 0
-    for lineno, line in enumerate(lines, 1):
-        input_count += 1
-        tokens = line.split(b"\t")
-        if len(tokens) < column:
+def _open_line_stream(ctx, args):
+    """Open the tabular input, shard-aware: in multi-host runs this
+    process reads only its line-aligned byte range of the file."""
+    import os as _os
+
+    from ...core.errors import FastxError
+
+    if args.input_filename == "-" or args.input_filename.startswith("-"):
+        stream = ctx.stdin
+    else:
+        try:
+            stream = open(args.input_filename, "rb")
+        except OSError as e:
             print(
-                "Input error in file '%s' line %d: got only %d columns, "
-                "but collapsed identifier column (-c) is %d"
-                % (args.input_filename, lineno, len(tokens), column),
+                "%s: failed to open input file '%s': %s"
+                % (ctx.prog, args.input_filename, e.strerror),
                 file=ctx.stderr,
             )
             raise ExitWithStatus(1)
-        count = extract_collapsed_read_count(tokens[column - 1])
-        output_count += count
-        out.extend([line] * count)
+    info = multihost.shard_info()
+    remaining = None
+    if info.active:
+        if (
+            stream is ctx.stdin
+            or not (hasattr(stream, "seekable") and stream.seekable())
+            or not hasattr(stream, "fileno")
+        ):
+            raise FastxError(
+                "sharded/multi-host input requires a seekable input file "
+                "(-i FILE), not STDIN or a pipe"
+            )
+        size = _os.fstat(stream.fileno()).st_size
+        lo, hi = multihost.shard_line_range(stream, size, info)
+        stream.seek(lo)
+        remaining = hi - lo
+    return stream, remaining
+
+
+def _uncollapse_tabular(ctx, args, column: int):
+    import os as _os
+
+    stream, remaining = _open_line_stream(ctx, args)
+    block_bytes = int(_os.environ.get("FASTX_TPU_BLOCK_BYTES", 64 * 1024 * 1024))
     writer = common.OutputWriter(ctx, args)
-    writer.write(b"".join(x + b"\n" for x in out))
+    input_count = 0
+    output_count = 0
+    carry = b""
+    eof = False
+    while not eof:
+        want = block_bytes if remaining is None else min(block_bytes, remaining)
+        block = stream.read(want) if want > 0 else b""
+        if remaining is not None:
+            remaining -= len(block)
+        eof = not block
+        data = carry + block
+        lines = data.split(b"\n")
+        carry = lines.pop()  # incomplete tail (b"" when data ends in \n)
+        if eof and carry:
+            lines.append(carry)  # final line without trailing newline
+            carry = b""
+        out = []
+        for line in lines:
+            input_count += 1
+            tokens = line.split(b"\t")
+            if len(tokens) < column:
+                print(
+                    "Input error in file '%s' line %d: got only %d columns, "
+                    "but collapsed identifier column (-c) is %d"
+                    % (args.input_filename, input_count, len(tokens), column),
+                    file=ctx.stderr,
+                )
+                raise ExitWithStatus(1)
+            count = extract_collapsed_read_count(tokens[column - 1])
+            output_count += count
+            out.extend([line] * count)
+        if out:
+            writer.write(b"".join(x + b"\n" for x in out))
     writer.close()
 
     if args.verbose:
+        input_count, output_count = multihost.allsum(input_count, output_count)
         rep = common.report_stream(ctx, args)
         rep.write("Input: %d lines (with collapsed sequence identifiers)\n" % input_count)
         rep.write("Output: %d lines\n" % output_count)

@@ -467,10 +467,24 @@ def render(
     buffer with zero intermediate copies.
     """
     n = len(batch)
+    if out is not None:
+        # validate arena support before the empty-batch early return so a
+        # misconfigured caller fails deterministically, not only once
+        # data arrives
+        if native.LIB is None:
+            raise ValueError("out= arena rendering requires the native codec")
+        ascii_all = (
+            bool(ascii_qual)
+            if np.isscalar(ascii_qual)
+            else bool(np.asarray(ascii_qual).all())
+        )
+        if out_fastq and not ascii_all:
+            raise ValueError(
+                "out= arena rendering is only supported on the native "
+                "ASCII-quality fast paths"
+            )
     if n == 0:
         return 0 if out is not None else b""
-    if out is not None and native.LIB is None:
-        raise ValueError("out= arena rendering requires the native codec")
     if native.LIB is None and (keep is not None or mask_thr is not None):
         # fallback: materialize the edits, then render normally
         if mask_thr is not None:

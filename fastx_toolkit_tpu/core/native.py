@@ -121,6 +121,10 @@ def _out_span(total, out, out_off):
     if out is None:
         buf = np.empty(total, np.uint8)
         return buf, ptr(buf, _u8p)
+    if out.dtype != np.uint8 or not out.flags["C_CONTIGUOUS"]:
+        raise ValueError("render arena must be a C-contiguous uint8 array")
+    if out_off < 0:
+        raise ValueError("render arena offset must be >= 0")
     if out_off + total > out.nbytes:
         raise ValueError("render arena too small")
     return None, ctypes.cast(out.ctypes.data + out_off, _u8p)

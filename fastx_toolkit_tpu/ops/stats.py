@@ -33,7 +33,10 @@ NSLOTS = 6
 NBINS = 109  # quality values -15..93 inclusive
 MIN_Q = -15
 
-_STATS_LUT = jnp.asarray(BaseCode.STATS_INDEX)
+# plain numpy: jit traces it as a constant; a module-level jnp
+# array would initialize the XLA backend at import time, which
+# must not happen before jax.distributed comes up on a pod
+_STATS_LUT = np.asarray(BaseCode.STATS_INDEX)
 
 
 @dataclasses.dataclass
@@ -79,7 +82,7 @@ def accumulate(bases, quals, lengths, counts, *, is_fastq: bool):
     B, L = bases.shape
     col = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = col < lengths[:, None]
-    nuc = _STATS_LUT[bases.astype(jnp.int32)].astype(jnp.int32)
+    nuc = jnp.asarray(_STATS_LUT)[bases.astype(jnp.int32)].astype(jnp.int32)
     w = jnp.where(valid, counts[:, None], 0).astype(jnp.int32)
 
     slot_all = jnp.broadcast_to((col * NSLOTS).astype(jnp.int32), (B, L))  # nuc slot 0
@@ -342,7 +345,7 @@ def counts_only(bases, lengths, counts):
     pipeline's stats stage where only counts are consumed."""
     B, L = bases.shape
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
-    nuc = _STATS_LUT[bases.astype(jnp.int32)]
+    nuc = jnp.asarray(_STATS_LUT)[bases.astype(jnp.int32)]
     w = counts.astype(jnp.float32)
     out = []
     vf = valid.astype(jnp.float32)

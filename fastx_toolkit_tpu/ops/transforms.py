@@ -150,11 +150,12 @@ def artifacts_keep(bases, lengths):
 # fastx_reverse_complement (fastx_reverse_complement.c:74-104)
 # ---------------------------------------------------------------------------
 
-_COMPLEMENT_LUT = jnp.asarray(BaseCode.COMPLEMENT)
+# numpy, not jnp: avoid XLA backend init at import (pod startup order)
+_COMPLEMENT_LUT = np.asarray(BaseCode.COMPLEMENT)
 
 
 def reverse_complement(bases, quals, lengths, *, is_fastq: bool):
-    comp = _COMPLEMENT_LUT[bases.astype(jnp.int32)]
+    comp = jnp.asarray(_COMPLEMENT_LUT)[bases.astype(jnp.int32)]
     idx = jnp.where(_in_len(bases, lengths), lengths[:, None] - 1 - _iota(bases), _iota(bases))
     rb = jnp.take_along_axis(comp, idx, axis=1)
     rq = jnp.take_along_axis(quals, idx, axis=1) if is_fastq else quals

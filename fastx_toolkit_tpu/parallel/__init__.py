@@ -1,3 +1,4 @@
+from . import multihost  # noqa: F401
 from .mesh import (  # noqa: F401
     data_mesh,
     shard_batch,

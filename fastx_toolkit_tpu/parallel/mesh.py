@@ -16,9 +16,14 @@ global operators:
 * barcode splitter — sharded hamming matrix + argmin; per-barcode counts
   merged with psum.
 
-Multi-host entry: ``distributed_init()`` wraps jax.distributed.initialize;
-each host feeds its own input shard (files are split by byte ranges in the
-streaming loader) and global results are identical on every host.
+Multi-host entry: see ``parallel.multihost`` — the CLI front-ends bring
+the process group up from FASTX_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID,
+the streaming loader (cli.tools._shared.BatchReader) splits the input
+file by record-aligned byte ranges so each process owns a contiguous
+slice of the records, and global results (stats histograms, collapse
+tables, verbose counters) are merged across processes with host-level
+allgathers so process 0's output is byte-identical to a single-process
+run.
 """
 
 from __future__ import annotations

@@ -103,3 +103,74 @@ def test_chomp_cr():
 def test_counts_atoi_semantics():
     b = codec.parse(b">x-12\nAC\n>y-\nAC\n>z-3abc\nAC\n>w-0\nAC\n>v\nAC\n")
     assert list(b.counts) == [12, 1, 3, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# out=/out_off arena rendering parity (native path)
+
+
+def _native_batch():
+    if codec.native.LIB is None:
+        pytest.skip("native codec not built")
+    data = fixture("fastq_stats1.fastq")
+    return codec.parse(data, filetype=codec.FASTQ_ONLY, q_offset=64), data
+
+
+def test_render_arena_matches_bytes_path():
+    batch, _ = _native_batch()
+    n = len(batch)
+    keep = np.arange(n) % 3 != 1
+    for kw in (
+        {},
+        {"keep": keep},
+        {"mask_thr": 20},
+        {"keep": keep, "mask_thr": 25, "mask_char": ord("x")},
+    ):
+        expect = codec.render(
+            batch, out_fastq=True, ascii_qual=True, q_offset=64, **kw
+        )
+        arena = np.full(len(expect) + 13, 0xEE, np.uint8)
+        nbytes = codec.render(
+            batch, out_fastq=True, ascii_qual=True, q_offset=64,
+            out=arena, out_off=13, **kw,
+        )
+        assert nbytes == len(expect)
+        assert arena[13:13 + nbytes].tobytes() == expect
+        assert (arena[:13] == 0xEE).all()  # offset prefix untouched
+    # FASTA path too
+    expect = codec.render(batch, out_fastq=False)
+    arena = np.zeros(len(expect), np.uint8)
+    nbytes = codec.render(batch, out_fastq=False, out=arena)
+    assert arena[:nbytes].tobytes() == expect
+
+
+def test_render_arena_multi_batch_offsets():
+    batch, _ = _native_batch()
+    one = codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=64)
+    arena = np.zeros(2 * len(one), np.uint8)
+    n1 = codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=64,
+                      out=arena, out_off=0)
+    n2 = codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=64,
+                      out=arena, out_off=n1)
+    assert arena[: n1 + n2].tobytes() == one + one
+
+
+def test_render_arena_errors():
+    batch, _ = _native_batch()
+    with pytest.raises(ValueError, match="arena too small"):
+        codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=64,
+                     out=np.zeros(3, np.uint8))
+    with pytest.raises(ValueError, match="C-contiguous uint8"):
+        codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=64,
+                     out=np.zeros(1 << 20, np.uint8)[::2])
+    with pytest.raises(ValueError, match="C-contiguous uint8"):
+        codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=64,
+                     out=np.zeros(1 << 20, np.int16))
+    with pytest.raises(ValueError, match="offset must be"):
+        codec.render(batch, out_fastq=True, ascii_qual=True, q_offset=64,
+                     out=np.zeros(1 << 20, np.uint8), out_off=-1)
+    # unsupported configurations fail even for empty batches
+    empty = batch.select(np.zeros(len(batch), bool))
+    with pytest.raises(ValueError, match="ASCII-quality"):
+        codec.render(empty, out_fastq=True, ascii_qual=False, q_offset=64,
+                     out=np.zeros(16, np.uint8))
