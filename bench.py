@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/sec", "vs_baseline": N}
 
-The workload is BASELINE.json's headline config: the full fused
+The default workload is BASELINE.json's headline config: the full fused
 preprocessing chain (fastx_trimmer -> fastq_quality_filter ->
 fastq_quality_trimmer -> fastq_masker -> fastx_clipper ->
 fastx_artifacts_filter + per-cycle stats), end to end: FASTQ bytes are
@@ -11,9 +11,15 @@ parsed on the host, the fused step runs on device, surviving records are
 rendered back to FASTQ bytes.
 
 vs_baseline compares against the reference C tools compiled -O3 and run
-as a 6-process shell pipeline on this machine (measured 2026-08-17, see
-BASELINE.md "Local reference measurement"): 1,000,000 reads x 100bp in
-17.83 s = 56,085 reads/sec.
+as a shell pipeline on this machine (see BASELINE.md "Local reference
+measurement"); headline: 56,085 reads/sec.
+
+Extra modes (VERDICT round-1 item #2):
+  --config N     measure BASELINE.json config N (1..5) end to end
+  --device       device-resident throughput (per-chip compute ceiling);
+                 combine with --config N for that config's kernel
+  --cbaseline    (re)measure the reference C pipelines for every config
+                 with the exact commands recorded in C_CMDS below
 """
 
 import json
@@ -87,7 +93,7 @@ def _dispatch_chunk(bases, quals, lengths, fns, cfg):
     return fn4(b4, planes, lengths)
 
 
-def run_once(data: bytes, fns, cfg, arena) -> tuple[int, int]:
+def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[int, int]:
     """Parse -> device pipeline (chunked, decisions only) -> host render,
     fully overlapped and padding-free.
 
@@ -228,8 +234,9 @@ def run_once(data: bytes, fns, cfg, arena) -> tuple[int, int]:
             # the native render loop (zero extra passes), which writes
             # straight into the output arena (no bytes objects, no join)
             out_pos += codec.render(
-                batch, out_fastq=True, ascii_qual=True, q_offset=33,
-                keep=keep, mask_thr=cfg.mask_q, out=arena, out_off=out_pos,
+                batch, out_fastq=out_fastq, ascii_qual=True, q_offset=33,
+                keep=keep, mask_thr=cfg.mask_q if cfg.with_mask else None,
+                out=arena, out_off=out_pos,
             )
             n_total += len(batch)
             if not next_block():
@@ -266,19 +273,522 @@ def run_once(data: bytes, fns, cfg, arena) -> tuple[int, int]:
     return n_total, out_pos
 
 
-def device_only():
+# ---------------------------------------------------------------------------
+# BASELINE.json configs 1-5 (VERDICT round-1 item #2)
+# ---------------------------------------------------------------------------
+#
+# The exact reference commands measured by --cbaseline (these ARE the
+# recorded baseline workloads; C_BASELINE holds their measured reads/sec
+# on this machine — see BASELINE.md):
+
+C_CMDS = {
+    0: "{bin}/fastx_trimmer -Q 33 -i {lane} | {bin}/fastq_quality_filter -Q 33 -q 20 -p 50"
+       " | {bin}/fastq_quality_trimmer -Q 33 -t 20 | {bin}/fastq_masker -Q 33 -q 20"
+       " | {bin}/fastx_clipper -Q 33 -a CTGTAGGCACCATCAAT -n"
+       " | {bin}/fastx_artifacts_filter -Q 33 > /dev/null",
+    1: "{bin}/fastx_trimmer -Q 33 -f 1 -l 80 -i {lane} | {bin}/fastq_to_fasta -Q 33 > /dev/null",
+    2: "{bin}/fastq_quality_filter -Q 33 -q 20 -p 50 -i {lane}"
+       " | {bin}/fastq_quality_trimmer -Q 33 -t 20"
+       " | {bin}/fastq_masker -Q 33 -q 20 > /dev/null",
+    3: "{bin}/fastx_quality_stats -Q 33 -i {lane} > /dev/null",
+    4: "{bin}/fastx_clipper -Q 33 -a CTGTAGGCACCATCAAT -l 15 -i {lane100k}"
+       " | {bin}/fastx_artifacts_filter -Q 33 > /dev/null",
+    5: "{bin}/fastx_collapser -Q 33 -i {lane} > /dev/null",
+}
+
+# measured reads/sec of the commands above (bench.py --cbaseline,
+# best-of-3, reference compiled -O3; this machine, 2026-08-20).  The
+# headline (config 0) keeps the round-1 measurement 56,085 r/s for
+# artifact continuity; the same chain re-measured with the recorded
+# command gave 48,642 r/s, so 56,085 is the stricter baseline.
+C_BASELINE = {
+    0: C_BASELINE_READS_PER_SEC,
+    1: 261572.0,
+    2: 122531.0,
+    3: 1001903.0,
+    4: 66551.0,
+    5: 280649.0,
+}
+
+METRIC = {
+    0: "reads_per_sec_trim_filter_clip_pipeline",
+    1: "reads_per_sec_config1_trim_tofasta",
+    2: "reads_per_sec_config2_quality_chain",
+    3: "reads_per_sec_config3_quality_stats",
+    4: "reads_per_sec_config4_clip_artifacts",
+    5: "reads_per_sec_config5_collapser",
+}
+
+CONFIG_READS = {4: min(N_READS, 100_000)}  # clipper C baseline uses 100k
+
+
+def config_cfg(n: int):
+    """(PipelineConfig, render_fastq) for the decision-pipeline configs."""
+    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig
+
+    if n == 1:  # fastx_trimmer -f 1 -l 80 | fastq_to_fasta
+        return PipelineConfig(
+            adapter=ADAPTER, trim_last=80, with_filter=False, with_qtrim=False,
+            with_mask=False, with_clip=False, with_artifacts=False,
+            to_fasta_discard_n=True,
+        ), False
+    if n == 2:  # quality filter | trimmer | masker at Q20
+        return PipelineConfig(adapter=ADAPTER, with_clip=False,
+                              with_artifacts=False), True
+    if n == 4:  # fastx_clipper -l 15 | fastx_artifacts_filter
+        return PipelineConfig(
+            adapter=ADAPTER, with_filter=False, with_qtrim=False,
+            with_mask=False, clip_keep_n=False, clip_minlen=15,
+        ), True
+    return PipelineConfig(adapter=ADAPTER), True  # headline (config 0)
+
+
+def emit(config_n: int, rps: float, suffix: str = ""):
+    print(json.dumps({
+        "metric": METRIC[config_n] + suffix,
+        "value": round(rps, 1),
+        "unit": "reads/sec",
+        "vs_baseline": round(rps / C_BASELINE[config_n], 3),
+    }))
+
+
+def run_config_pipeline(config_n: int):
+    """End-to-end measurement for the decision-pipeline configs 0/1/2/4:
+    parse -> packed upload -> fused device step -> native render."""
+    from fastx_toolkit_tpu.engine.pipeline import packed_decisions_pipeline
+
+    cfg, out_fastq = config_cfg(config_n)
+    fns = (
+        packed_decisions_pipeline(cfg, two_bit=True, has_n_plane=False),
+        packed_decisions_pipeline(cfg, two_bit=True),
+        packed_decisions_pipeline(cfg),
+    )
+    n_reads = CONFIG_READS.get(config_n, N_READS)
+    data = synth_lane_bytes(n_reads, READ_LEN)
+    print("config %d lane: %d reads, %d bytes" % (config_n, n_reads, len(data)),
+          file=sys.stderr)
+    arena = np.empty(len(data) + (1 << 20), np.uint8)
+    arena[::4096] = 0
+    t0 = time.perf_counter()
+    run_once(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena,
+             out_fastq=out_fastq)
+    print("warmup %.1fs" % (time.perf_counter() - t0), file=sys.stderr)
+    times = []
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
+        t0 = time.perf_counter()
+        n, nbytes = run_once(data, fns, cfg, arena, out_fastq=out_fastq)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
+              % (it, dt, n / dt, nbytes), file=sys.stderr)
+    _maybe_dump(bytes(arena[:nbytes]))
+    emit(config_n, n_reads / min(times))
+
+
+def _maybe_dump(out: bytes):
+    """FASTX_BENCH_DUMP=path writes the final iteration's output bytes so
+    the bench workload itself can be byte-compared against the reference
+    C pipeline (see BASELINE.md)."""
+    path = os.environ.get("FASTX_BENCH_DUMP")
+    if path:
+        with open(path, "wb") as fh:
+            fh.write(out)
+
+
+def _hist_from_b2_fn():
+    """jit: (b2, quals, lengths) -> per-(pos, nuc, qval) histogram; bases
+    travel 2-bit packed (pure-ACGT chunks), quality values raw (the
+    109-bin histogram needs them whole)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastx_toolkit_tpu.kernels.stats_pallas import stats_hist_pallas
+
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+
+    @jax.jit
+    def f(b2, quals, lengths):
+        B = b2.shape[0]
+        codes = jnp.stack(
+            [(b2 >> 6) & 3, (b2 >> 4) & 3, (b2 >> 2) & 3, b2 & 3], axis=2
+        ).reshape(B, -1)
+        bases = jnp.asarray(acgt)[codes.astype(jnp.int32)][:, : quals.shape[1]]
+        return stats_hist_pallas(bases, quals, lengths, tile_b=512)
+
+    return f
+
+
+def run_config_stats(device_resident: bool = False):
+    """Config 3: fastx_quality_stats over the lane — parse -> 2-bit packed
+    upload -> Pallas one-hot-matmul histogram -> exact stats table."""
+    import io
+    from collections import deque
+    from types import SimpleNamespace
+
+    import jax
+
+    from fastx_toolkit_tpu.cli.tools._shared import BatchReader
+    from fastx_toolkit_tpu.core import codec
+    from fastx_toolkit_tpu.engine.pipeline import pack_batch2, scan_alphabet
+    from fastx_toolkit_tpu.kernels.stats_pallas import stats_hist_pallas
+    from fastx_toolkit_tpu.ops import stats as stats_ops
+    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig
+
+    fn = _hist_from_b2_fn()
+
+    if device_resident:
+        rng = np.random.default_rng(0)
+        bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(CHUNK, READ_LEN))
+        quals = rng.integers(2, 41, size=(CHUNK, READ_LEN)).astype(np.int8)
+        lengths = np.full(CHUNK, READ_LEN, np.int32)
+        cfg0 = PipelineConfig(with_filter=False, with_qtrim=False, with_mask=False)
+        b2, _ = pack_batch2(bases, quals, cfg0, n_plane=False)
+        xs = [jax.device_put(a) for a in (b2, quals, lengths)]
+        _ = [np.asarray(x[:1]) for x in xs]
+        out = fn(*xs)
+        _ = np.asarray(out[:1, :1, :1])
+        best = float("inf")
+        t_start = time.perf_counter()
+        for _i in range(20):
+            t0 = time.perf_counter()
+            out = fn(*xs)
+            _ = np.asarray(out[:1, :1, :1])
+            best = min(best, time.perf_counter() - t0)
+            if time.perf_counter() - t_start > 20:
+                break
+        emit(3, CHUNK / best, suffix="_device_resident")
+        return
+
+    cfg0 = PipelineConfig(with_filter=False, with_qtrim=False, with_mask=False)
+    n_reads = CONFIG_READS.get(3, N_READS)
+    data = synth_lane_bytes(n_reads, READ_LEN)
+    print("config 3 lane: %d reads, %d bytes" % (n_reads, len(data)), file=sys.stderr)
+    inflight_max = int(os.environ.get("FASTX_BENCH_INFLIGHT", 2))
+    TILE = 512
+
+    def once() -> bytes:
+        args = SimpleNamespace(input_filename="<bench>", q_offset=33)
+        reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
+                             block_bytes=BLOCK_BYTES, stream=io.BytesIO(data))
+        total = None
+        inflight = deque()
+
+        def drain_one():
+            h = inflight.popleft()
+            nonlocal total
+            h = np.asarray(h, np.int64)
+            if total is None:
+                total = h
+            else:
+                total += h
+
+        for batch in reader:
+            bases = np.asarray(batch.bases)
+            quals = np.ascontiguousarray(batch.quals, np.int8)
+            lengths = np.asarray(batch.lengths, np.int32)
+            B = len(lengths)
+            pad = -(-B // TILE) * TILE - B
+            if pad:
+                bases = np.pad(bases, ((0, pad), (0, 0)))
+                quals = np.pad(quals, ((0, pad), (0, 0)))
+                lengths = np.pad(lengths, (0, pad))
+            pure, _has_n = scan_alphabet(bases)
+            if pure:
+                b2, _ = pack_batch2(bases, quals, cfg0, n_plane=False)
+                inflight.append(fn(b2, quals, lengths))
+            else:  # rare: raw upload fallback
+                inflight.append(stats_hist_pallas(bases, quals, lengths, tile_b=TILE))
+            if len(inflight) >= inflight_max:
+                drain_one()
+        while inflight:
+            drain_one()
+        acc = stats_ops.StatsAccumulator.empty(total.shape[0])
+        acc.merge_partial(*stats_ops.derive_from_hist(total))
+        return stats_ops.render_old_format(acc).encode()
+
+    t0 = time.perf_counter()
+    out = once()
+    print("iter 0 (compile): %.3fs" % (time.perf_counter() - t0), file=sys.stderr)
+    times = []
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
+        t0 = time.perf_counter()
+        out = once()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
+              % (it + 1, dt, n_reads / dt, len(out)), file=sys.stderr)
+    _maybe_dump(out)
+    emit(3, n_reads / min(times))
+
+
+def _collapse_chunks_fn(n_chunks: int):
+    import jax
+    import jax.numpy as jnp
+
+    from fastx_toolkit_tpu.ops.collapse import collapse
+
+    @jax.jit
+    def f(n_real, *chunks):
+        words = jnp.concatenate(chunks, axis=0)
+        B = words.shape[0]
+        idx = jnp.arange(B, dtype=jnp.int32)
+        counts = (idx < n_real).astype(jnp.int32)
+        perm, head, seg_id, seg_counts, seg_first = collapse(words, counts, idx)
+        return head, seg_counts, seg_first
+
+    return f
+
+
+def _block_keys(bases: np.ndarray, lengths: np.ndarray, width: int):
+    """Injective per-read sort keys as uint32 words: 2-bit packed bases
+    (+ N bit-plane words when the block has any N) + the length word.
+    Equality of keys == equality of sequences over the ACGTN alphabet."""
+    from fastx_toolkit_tpu.engine.pipeline import (
+        PipelineConfig,
+        pack_batch2,
+        scan_alphabet,
+    )
+
+    B, L = bases.shape
+    if L < width:
+        bases = np.pad(bases, ((0, 0), (0, width - L)))
+    cfg0 = PipelineConfig(with_filter=False, with_qtrim=False, with_mask=False)
+    pure, has_n = scan_alphabet(bases)
+    dummy_q = np.zeros(bases.shape, np.int8)
+    if pure:
+        b2, planes = pack_batch2(bases, dummy_q, cfg0, n_plane=True)
+    else:  # full-alphabet fallback: one byte per base is still injective
+        from fastx_toolkit_tpu.ops.collapse import pack_words
+
+        w = pack_words(bases)
+        return np.concatenate(
+            [w, lengths.astype(np.uint32)[:, None]], axis=1
+        ).astype(np.uint32)
+    parts = [b2]
+    if has_n:
+        parts.append(planes[:, 0])
+    cols = []
+    for p in parts:
+        pw = p.shape[1]
+        pad = (-pw) % 4
+        if pad:
+            p = np.pad(p, ((0, 0), (0, pad)))
+        cols.append(p.reshape(B, -1, 4).view(np.uint32).reshape(B, -1))
+    cols.append(lengths.astype(np.uint32)[:, None])
+    return np.ascontiguousarray(np.concatenate(cols, axis=1))
+
+
+def run_config_collapse(device_resident: bool = False):
+    """Config 5: fastx_collapser over the lane — parse -> packed sort keys
+    -> device lexsort + segment-reduce -> rank-count FASTA render."""
+    import io
+    from types import SimpleNamespace
+
+    import jax
+
+    from fastx_toolkit_tpu.cli.tools._shared import BatchReader
+    from fastx_toolkit_tpu.core import codec
+    from fastx_toolkit_tpu.core.records import ReadBatch, StringColumn
+    from fastx_toolkit_tpu.ops.collapse import final_order
+
+    if device_resident:
+        from fastx_toolkit_tpu.ops.collapse import collapse_jit
+
+        rng = np.random.default_rng(0)
+        bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(CHUNK, READ_LEN))
+        words = _block_keys(bases, np.full(CHUNK, READ_LEN, np.int32), READ_LEN)
+        xs = [jax.device_put(a) for a in
+              (words, np.ones(CHUNK, np.int32), np.arange(CHUNK, dtype=np.int32))]
+        _ = [np.asarray(x[:1]) for x in xs]
+        out = collapse_jit(*xs)
+        _ = np.asarray(out[1][:1])
+        best = float("inf")
+        t_start = time.perf_counter()
+        for _i in range(20):
+            t0 = time.perf_counter()
+            out = collapse_jit(*xs)
+            _ = np.asarray(out[1][:1])
+            best = min(best, time.perf_counter() - t0)
+            if time.perf_counter() - t_start > 20:
+                break
+        emit(5, CHUNK / best, suffix="_device_resident")
+        return
+
+    n_reads = CONFIG_READS.get(5, N_READS)
+    data = synth_lane_bytes(n_reads, READ_LEN)
+    print("config 5 lane: %d reads, %d bytes" % (n_reads, len(data)), file=sys.stderr)
+    arena = np.empty(len(data) + (1 << 20), np.uint8)
+    arena[::4096] = 0
+    fn_cache: dict = {}
+
+    def once() -> int:
+        args = SimpleNamespace(input_filename="<bench>", q_offset=33)
+        reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
+                             block_bytes=BLOCK_BYTES, stream=io.BytesIO(data))
+        blocks = []  # (bases, lengths) kept for the final gather/render
+        dev_chunks = []
+        carry = []
+        pend = 0
+        width = READ_LEN
+
+        def flush_chunk(rows_needed):
+            nonlocal pend
+            take, got = [], 0
+            while got < rows_needed and carry:
+                k = carry[0]
+                need = rows_needed - got
+                if len(k) <= need:
+                    take.append(carry.pop(0))
+                    got += len(k)
+                else:
+                    take.append(k[:need])
+                    carry[0] = k[need:]
+                    got = rows_needed
+            chunk = np.concatenate(take) if len(take) > 1 else take[0]
+            if len(chunk) < CHUNK:  # tail: pad with count-0 rows
+                chunk = np.pad(chunk, ((0, CHUNK - len(chunk)), (0, 0)))
+            dev_chunks.append(jax.device_put(chunk))
+            pend -= min(rows_needed, CHUNK)
+
+        for batch in reader:
+            bases = np.asarray(batch.bases)
+            lengths = np.asarray(batch.lengths, np.int32)
+            blocks.append((bases, lengths))
+            carry.append(_block_keys(bases, lengths, width))
+            pend += len(lengths)
+            while pend >= CHUNK:
+                flush_chunk(CHUNK)
+        if pend:
+            flush_chunk(pend)
+
+        fn = fn_cache.setdefault(len(dev_chunks), _collapse_chunks_fn(len(dev_chunks)))
+        head, seg_counts, seg_first = (
+            np.asarray(x) for x in fn(np.int32(n_reads), *dev_chunks)
+        )
+        nseg = int(head.sum())
+        uniq_counts = seg_counts[:nseg]
+        uniq_first = seg_first[:nseg]
+        real = uniq_counts > 0  # drop the padding segment
+        uniq_counts = uniq_counts[real]
+        uniq_first = uniq_first[real]
+        order = final_order(uniq_counts, uniq_first)
+        oc = uniq_counts[order]
+        of = uniq_first[order]
+        # gather representative rows from the stored blocks
+        all_bases = np.concatenate([b for b, _ in blocks]) if len(blocks) > 1 else blocks[0][0]
+        all_lens = np.concatenate([l for _, l in blocks]) if len(blocks) > 1 else blocks[0][1]
+        out_bases = all_bases[of]
+        out_lens = all_lens[of]
+        names = StringColumn.from_list(
+            [b"%d-%d" % (r, c) for r, c in enumerate(oc.tolist(), start=1)]
+        )
+        U = len(oc)
+        out_batch = ReadBatch(
+            bases=out_bases, quals=np.zeros((U, 0), np.int8),
+            lengths=out_lens, counts=np.asarray(oc, np.int32),
+            names=names, names2=StringColumn.from_list([b""] * U),
+            is_fastq=False, qual_ascii=np.ones(U, bool),
+        )
+        return codec.render(out_batch, out_fastq=False, ascii_qual=True,
+                            q_offset=33, out=arena, out_off=0)
+
+    t0 = time.perf_counter()
+    nbytes = once()
+    print("iter 0 (compile): %.3fs" % (time.perf_counter() - t0), file=sys.stderr)
+    times = []
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
+        t0 = time.perf_counter()
+        nbytes = once()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
+              % (it + 1, dt, n_reads / dt, nbytes), file=sys.stderr)
+    _maybe_dump(bytes(arena[:nbytes]))
+    emit(5, n_reads / min(times))
+
+
+def cbaseline():
+    """(Re)measure the reference C pipelines (compiled -O3) for every
+    config with the exact C_CMDS commands; prints one JSON line each."""
+    import subprocess
+    import tempfile
+
+    R = "/root/reference/src"
+    bindir = "/tmp/fastx_refbin_O3"
+    if not os.path.exists(os.path.join(bindir, "fastx_collapser")):
+        os.makedirs(bindir, exist_ok=True)
+        with open(os.path.join(bindir, "config.h"), "w") as fh:
+            fh.write('#define PACKAGE_STRING "FASTX Toolkit 0.0.14"\n')
+        objs = []
+        for src in ("fastx.c", "fastx_args.c", "chomp.c"):
+            o = os.path.join(bindir, src + ".o")
+            subprocess.run(["gcc", "-O3", "-I", bindir, "-I", f"{R}/libfastx",
+                            "-c", f"{R}/libfastx/{src}", "-o", o],
+                           check=True, capture_output=True)
+            objs.append(o)
+        for t in ("fastq_to_fasta", "fastq_quality_filter", "fastq_quality_trimmer",
+                  "fastq_masker", "fastx_trimmer", "fastx_artifacts_filter",
+                  "fastx_quality_stats"):
+            subprocess.run(["gcc", "-O3", "-I", bindir, "-I", f"{R}/libfastx",
+                            f"{R}/{t}/{t}.c", *objs, "-o", os.path.join(bindir, t)],
+                           check=True, capture_output=True)
+        subprocess.run(["g++", "-O3", "-I", bindir, "-I", f"{R}/libfastx",
+                        f"{R}/fastx_clipper/fastx_clipper.cpp",
+                        f"{R}/libfastx/sequence_alignment.cpp", *objs,
+                        "-o", os.path.join(bindir, "fastx_clipper")],
+                       check=True, capture_output=True)
+        subprocess.run(["g++", "-O3", "-std=c++11", "-I", bindir, "-I", f"{R}/libfastx",
+                        f"{R}/fastx_collapser/fastx_collapser.cpp", *objs,
+                        "-o", os.path.join(bindir, "fastx_collapser")],
+                       check=True, capture_output=True)
+
+    lane = "/tmp/fastx_bench_lane.fastq"
+    lane100k = "/tmp/fastx_bench_lane100k.fastq"
+    if not os.path.exists(lane):
+        with open(lane, "wb") as fh:
+            fh.write(synth_lane_bytes(N_READS, READ_LEN))
+    if not os.path.exists(lane100k):
+        with open(lane100k, "wb") as fh:
+            fh.write(synth_lane_bytes(100_000, READ_LEN))
+
+    for n in sorted(C_CMDS):
+        cmd = C_CMDS[n].format(bin=bindir, lane=lane, lane100k=lane100k)
+        n_reads = 100_000 if "{lane100k}" in C_CMDS[n] else N_READS
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subprocess.run(["bash", "-c", cmd], check=True)
+            times.append(time.perf_counter() - t0)
+        rps = n_reads / min(times)
+        print(json.dumps({
+            "metric": "c_baseline_config%d" % n,
+            "value": round(rps, 1),
+            "unit": "reads/sec",
+            "seconds_best_of_3": round(min(times), 3),
+            "reads": n_reads,
+            "cmd": cmd.replace(bindir + "/", ""),
+        }))
+
+
+def device_only(config_n: int = 0):
     """Measure the fused step on device-resident data: the per-chip
     compute ceiling with no host link in the loop (what a production
-    host with local PCIe approaches).  `python bench.py --device`."""
+    host with local PCIe approaches).  `python bench.py --device
+    [--config N]`."""
     import jax
 
     from fastx_toolkit_tpu.engine.pipeline import (
-        PipelineConfig,
         pack_batch2,
         packed_decisions_pipeline,
     )
 
-    cfg = PipelineConfig(adapter=ADAPTER)
+    if config_n == 3:
+        run_config_stats(device_resident=True)
+        return
+    if config_n == 5:
+        run_config_collapse(device_resident=True)
+        return
+    cfg, _ = config_cfg(config_n)
     fn = packed_decisions_pipeline(cfg, two_bit=True, has_n_plane=False)
     rng = np.random.default_rng(0)
     bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(CHUNK, READ_LEN))
@@ -305,16 +815,19 @@ def device_only():
             break
     dt = best
     rps = CHUNK / dt
-    print(
-        json.dumps(
-            {
-                "metric": "reads_per_sec_device_resident_fused_step",
-                "value": round(rps, 1),
-                "unit": "reads/sec",
-                "vs_baseline": round(rps / C_BASELINE_READS_PER_SEC, 3),
-            }
+    if config_n == 0:
+        print(
+            json.dumps(
+                {
+                    "metric": "reads_per_sec_device_resident_fused_step",
+                    "value": round(rps, 1),
+                    "unit": "reads/sec",
+                    "vs_baseline": round(rps / C_BASELINE_READS_PER_SEC, 3),
+                }
+            )
         )
-    )
+    else:
+        emit(config_n, rps, suffix="_device_resident")
 
 
 def main():
@@ -325,8 +838,23 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    config_n = 0
+    if "--config" in sys.argv:
+        config_n = int(sys.argv[sys.argv.index("--config") + 1])
+    if "--cbaseline" in sys.argv:
+        cbaseline()
+        return
     if "--device" in sys.argv:
-        device_only()
+        device_only(config_n)
+        return
+    if config_n == 3:
+        run_config_stats()
+        return
+    if config_n == 5:
+        run_config_collapse()
+        return
+    if config_n != 0:
+        run_config_pipeline(config_n)
         return
     from fastx_toolkit_tpu.engine.pipeline import (
         PipelineConfig,
@@ -371,6 +899,7 @@ def main():
             % (it, dt, n / dt, nbytes),
             file=sys.stderr,
         )
+    _maybe_dump(bytes(arena[:nbytes]))
     best = min(times)
     rps = N_READS / best
     print(

@@ -66,6 +66,20 @@ class PipelineConfig:
     # reference's headline chain has no stats stage; scatter-adds are the
     # most expensive non-DP op, so bench parity keeps this off)
     with_stats: bool = False
+    # stage toggles: BASELINE.json's configs 1/2/4 are subsets of the
+    # headline chain; disabling a quality stage also removes its
+    # threshold bit-plane from the packed upload (see _thresholds)
+    with_filter: bool = True
+    with_qtrim: bool = True
+    with_mask: bool = True
+    with_clip: bool = True
+    with_artifacts: bool = True
+    # fastx_clipper -n (keep reads with N); the headline chain runs the
+    # clipper after the masker, whose output the reference pipes with -n
+    clip_keep_n: bool = True
+    # trailing fastq_to_fasta stage: default-discard reads containing N
+    # (fastq_to_fasta.c:81-82); rendering as FASTA is the caller's job
+    to_fasta_discard_n: bool = False
 
 
 def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
@@ -76,21 +90,28 @@ def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
     under shard_map)."""
     b, q, l, c = bases, quals, lengths, counts  # noqa: E741
     b, q, l, keep = transforms.trimmer(b, q, l, last=cfg.trim_last)  # noqa: E741
-    keep &= transforms.quality_filter_keep(
-        q, l, min_quality=cfg.filter_q, min_percent=cfg.filter_p
-    )
-    b, q, l, k2 = transforms.quality_trimmer(  # noqa: E741
-        b, q, l, threshold=cfg.trim_q, min_len=cfg.trim_minlen
-    )
-    keep &= k2
-    b, _, _ = transforms.masker(b, q, l, threshold=cfg.mask_q, mask_char=ord("N"))
-    b, q, l, wrote, _cat = clip_batch(  # noqa: E741
-        b, q, l, adapter=cfg.adapter, min_length=cfg.clip_minlen, keep_delta=0,
-        discard_non_clipped=False, discard_clipped=False, keep_n=True,
-        show_adapter_only=False, min_adapter_len=0,
-    )
-    keep &= wrote
-    keep &= transforms.artifacts_keep(b, l)
+    if cfg.with_filter:
+        keep &= transforms.quality_filter_keep(
+            q, l, min_quality=cfg.filter_q, min_percent=cfg.filter_p
+        )
+    if cfg.with_qtrim:
+        b, q, l, k2 = transforms.quality_trimmer(  # noqa: E741
+            b, q, l, threshold=cfg.trim_q, min_len=cfg.trim_minlen
+        )
+        keep &= k2
+    if cfg.with_mask:
+        b, _, _ = transforms.masker(b, q, l, threshold=cfg.mask_q, mask_char=ord("N"))
+    if cfg.with_clip:
+        b, q, l, wrote, _cat = clip_batch(  # noqa: E741
+            b, q, l, adapter=cfg.adapter, min_length=cfg.clip_minlen, keep_delta=0,
+            discard_non_clipped=False, discard_clipped=False, keep_n=cfg.clip_keep_n,
+            show_adapter_only=False, min_adapter_len=0,
+        )
+        keep &= wrote
+    if cfg.with_artifacts:
+        keep &= transforms.artifacts_keep(b, l)
+    if cfg.to_fasta_discard_n:
+        keep &= ~transforms.contains_n(b, l)
     l = jnp.where(keep, l, 0)  # noqa: E741
     if cfg.with_stats:
         count = stats_ops.counts_only(b, l, c)
@@ -141,7 +162,14 @@ _ASCII_LUT[1 : len(_ALPHABET) + 1] = np.frombuffer(_ALPHABET, np.uint8)
 
 
 def _thresholds(cfg: PipelineConfig) -> tuple[int, ...]:
-    return tuple(dict.fromkeys((cfg.filter_q, cfg.trim_q, cfg.mask_q)))
+    ts = []
+    if cfg.with_filter:
+        ts.append(cfg.filter_q)
+    if cfg.with_qtrim:
+        ts.append(cfg.trim_q)
+    if cfg.with_mask:
+        ts.append(cfg.mask_q)
+    return tuple(dict.fromkeys(ts))
 
 
 # 2-bit variant: when a chunk is pure uppercase ACGTN (codes 0..5 — the
@@ -207,6 +235,8 @@ def _unpack2(b2, planes, has_n_plane: bool = True):
         [(b2 >> 6) & 3, (b2 >> 4) & 3, (b2 >> 2) & 3, b2 & 3], axis=2
     ).reshape(B, le)
     bases = jnp.asarray(_ACGT)[codes.astype(jnp.int32)]
+    if planes.shape[1] == 0:  # no thresholds and no N plane shipped
+        return bases, jnp.zeros((B, 0, le), bool)
     shifts = jnp.arange(7, -1, -1, dtype=planes.dtype)
     bits = (planes[:, :, :, None] >> shifts) & 1
     all_planes = bits.reshape(B, planes.shape[1], -1)[:, :, :le].astype(bool)
@@ -255,6 +285,8 @@ def _unpack4(b4, planes):
     lo = b4 & 0xF
     codes = jnp.stack([hi, lo], axis=2).reshape(B, le)
     bases = jnp.asarray(_ASCII_LUT)[codes.astype(jnp.int32)]
+    if planes.shape[1] == 0:  # no thresholds shipped
+        return bases, jnp.zeros((B, 0, le), bool)
     shifts = jnp.arange(7, -1, -1, dtype=planes.dtype)
     bits = (planes[:, :, :, None] >> shifts) & 1
     q_lt = bits.reshape(B, planes.shape[1], -1)[:, :, :le].astype(bool)
@@ -293,30 +325,37 @@ def packed_pipeline_body(b4, planes, lengths, counts, cfg: PipelineConfig,
         l = jnp.minimum(l, cfg.trim_last)  # noqa: E741
     in_len = iota < l[:, None]
 
-    # fastq_quality_filter: |{qual < q}| <= len*(100-p)/100
-    below = (in_len & q_lt[:, thr[cfg.filter_q]]).sum(axis=1, dtype=jnp.int32)
-    keep &= below <= (l * (100 - cfg.filter_p)) // 100
+    if cfg.with_filter:
+        # fastq_quality_filter: |{qual < q}| <= len*(100-p)/100
+        below = (in_len & q_lt[:, thr[cfg.filter_q]]).sum(axis=1, dtype=jnp.int32)
+        keep &= below <= (l * (100 - cfg.filter_p)) // 100
 
-    # fastq_quality_trimmer: drop the 3' run of qual < t
-    passing = in_len & ~q_lt[:, thr[cfg.trim_q]]
-    new_len = jnp.max(jnp.where(passing, iota + 1, 0), axis=1).astype(jnp.int32)
-    keep &= (new_len > 0) & (new_len >= cfg.trim_minlen)
-    l = new_len  # noqa: E741
-    in_len = iota < l[:, None]
+    if cfg.with_qtrim:
+        # fastq_quality_trimmer: drop the 3' run of qual < t
+        passing = in_len & ~q_lt[:, thr[cfg.trim_q]]
+        new_len = jnp.max(jnp.where(passing, iota + 1, 0), axis=1).astype(jnp.int32)
+        keep &= (new_len > 0) & (new_len >= cfg.trim_minlen)
+        l = new_len  # noqa: E741
+        in_len = iota < l[:, None]
 
-    # fastq_masker: the clipper/artifacts stages see the masked bases
-    masked = in_len & q_lt[:, thr[cfg.mask_q]]
-    b = jnp.where(masked, jnp.uint8(ord("N")), b)
+    if cfg.with_mask:
+        # fastq_masker: the clipper/artifacts stages see the masked bases
+        masked = in_len & q_lt[:, thr[cfg.mask_q]]
+        b = jnp.where(masked, jnp.uint8(ord("N")), b)
     b = jnp.where(in_len, b, 0).astype(jnp.uint8)
 
-    dummy_q = jnp.zeros(b.shape, jnp.int8)  # decisions never read quals
-    b, _, l, wrote, _cat = clip_batch(  # noqa: E741
-        b, dummy_q, l, adapter=cfg.adapter, min_length=cfg.clip_minlen,
-        keep_delta=0, discard_non_clipped=False, discard_clipped=False,
-        keep_n=True, show_adapter_only=False, min_adapter_len=0,
-    )
-    keep &= wrote
-    keep &= transforms.artifacts_keep(b, l)
+    if cfg.with_clip:
+        dummy_q = jnp.zeros(b.shape, jnp.int8)  # decisions never read quals
+        b, _, l, wrote, _cat = clip_batch(  # noqa: E741
+            b, dummy_q, l, adapter=cfg.adapter, min_length=cfg.clip_minlen,
+            keep_delta=0, discard_non_clipped=False, discard_clipped=False,
+            keep_n=cfg.clip_keep_n, show_adapter_only=False, min_adapter_len=0,
+        )
+        keep &= wrote
+    if cfg.with_artifacts:
+        keep &= transforms.artifacts_keep(b, l)
+    if cfg.to_fasta_discard_n:
+        keep &= ~transforms.contains_n(b, l)
     l = jnp.where(keep, l, 0)  # noqa: E741
     if cfg.with_stats:
         assert counts is not None, "with_stats needs the counts column"

@@ -161,19 +161,22 @@ def load_barcode_file(a: Args):
         raise FastxError("Error: failed to open barcode file (%s)\n" % a.bcfile, 255)
     barcodes = []  # list of (ident, barcode bytes)
     barcodes_length = None
-    for lineno, line in enumerate(raw.split(b"\n"), 1):
+    # Perl reads \n-terminated lines; a trailing newline does not create a
+    # final empty line, but a file NOT ending in \n still yields its last
+    # partial line (fastx_barcode_splitter.pl:151 while(<BCFILE>))
+    lines = raw.split(b"\n")
+    if lines and lines[-1] == b"":  # trailing \n (or empty file) adds no line
+        lines.pop()
+    for lineno, line in enumerate(lines, 1):
         if line.startswith(b"#"):
             continue
-        line = line.rstrip(b"\n")
         fields = line.split()
-        if not fields:
-            continue  # perl split on empty line yields (); 'unless defined $barcode' dies...
-        ident = fields[0].decode("latin-1")
-        if len(fields) < 2:
-            raise FastxError(
-                "Error: bad data at barcode file (%s) line %d\n" % (a.bcfile, lineno), 255
-            )
-        barcode = fields[1].upper()
+        # Perl: ($ident, $barcode) = split; $barcode = uc($barcode) turns
+        # an undef barcode (blank or one-field line) into "" — which is
+        # *defined*, so the 'bad data' die at :158 is dead code and the
+        # failure surfaces as 'bad barcode value ()' at :159
+        ident = fields[0].decode("latin-1") if fields else ""
+        barcode = fields[1].upper() if len(fields) > 1 else b""
         if not re.fullmatch(rb"[AGCT]+", barcode):
             raise FastxError(
                 "Error: bad barcode value (%s) at barcode file (%s) line %d\n"
@@ -203,8 +206,9 @@ def load_barcode_file(a: Args):
             for _ in range(a.partial):
                 b = b[1:] if a.bol else b[:-1]
                 barcodes.append((ident, b))
-    if barcodes_length is None:
-        raise FastxError("Error: bad data at barcode file (%s) line 1\n" % a.bcfile, 255)
+    # An empty (or all-comment) barcode file is NOT an error in the Perl:
+    # @barcodes stays empty, every read routes to 'unmatched'
+    # (fastx_barcode_splitter.pl:227-257 with an empty foreach).
     return barcodes, barcodes_length
 
 
@@ -222,7 +226,11 @@ def split_records(data: bytes, fastq: bool):
     nlines = len(line_starts)
 
     def line_end(i):
-        return line_starts[i + 1] - 1 if i + 1 < nlines else n
+        if i + 1 < nlines:
+            return line_starts[i + 1] - 1
+        # final line of the file: chomp the trailing newline if present
+        # (the Perl's chomp, fastx_barcode_splitter.pl:223)
+        return n - 1 if data.endswith(b"\n") else n
 
     lpr = 4 if fastq else 2
     recs = []
@@ -274,6 +282,16 @@ def main_io(argv, stdin, stdout, stderr, prog="fastx_barcode_splitter.pl") -> in
     B = len(recs)
     buf = np.frombuffer(data, np.uint8)
 
+    if barcodes_length is None:
+        # zero barcodes: the Perl's matcher loop is empty, best ident
+        # stays undef and every record is 'unmatched'
+        barcodes_length = 0
+        matched = np.zeros(B, bool)
+        best_idx = np.full(B, -1, np.int64)
+        idents = np.array([], dtype=object)
+        return _route_and_report(a, data, recs, fastq, matched, best_idx,
+                                 idents, [], stdout)
+
     # build [B, max(barcodes_length, pad)] fragment-source matrix: the
     # chomped bases line bytes.  Shapes are bucketed (B to a power of two,
     # L to a multiple of 32) so repeated runs reuse the jitted matcher.
@@ -307,7 +325,12 @@ def main_io(argv, stdin, stdout, stderr, prog="fastx_barcode_splitter.pl") -> in
     )
     idents = np.array([ident for ident, _ in barcodes])
     matched = (best_idx >= 0) & (best_mm <= a.mismatches)
+    return _route_and_report(a, data, recs, fastq, matched, best_idx,
+                             idents, barcodes, stdout)
 
+
+def _route_and_report(a, data, recs, fastq, matched, best_idx, idents,
+                      barcodes, stdout) -> int:
     # unique identifier set, a file per identifier + 'unmatched'
     uniq = []
     seen = set()
