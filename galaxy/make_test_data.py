@@ -186,6 +186,36 @@ def run_tool(tool_name, argv, stdin_bytes) -> bytes:
     return out.getvalue()
 
 
+def make_barcode_html_golden(test_data):
+    """fastx_barcode_splitter1.out — the Galaxy wrapper's HTML summary
+    for the splitter <tests> block (reference analog:
+    galaxy/test-data/fastx_barcode_splitter1.out, regenerated because the
+    reference's copy predates its own current wrapper: it embeds 2009
+    date-stamped tango.cshl.edu URLs the shipped wrapper.sh no longer
+    emits).  Our wrapper is byte-tested against the reference wrapper.sh
+    in tests/test_scripts.py."""
+    import tempfile
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ("/root/.axon_site" + os.pathsep
+                         + os.path.dirname(HERE) + os.pathsep
+                         + env.get("PYTHONPATH", ""))
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    with tempfile.TemporaryDirectory() as files_path:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(HERE, "fastx_barcode_splitter_galaxy_wrapper.py"),
+             os.path.join(test_data, "fastx_barcode_splitter1.txt"),
+             os.path.join(test_data, "fastx_barcode_splitter1.fastq"),
+             "fastx_barcode_splitter1.fastq", files_path,
+             "--mismatches", "2", "--partial", "0", "--bol"],
+            capture_output=True, check=True, env=env,
+        )
+    with open(os.path.join(test_data, "fastx_barcode_splitter1.out"), "wb") as f:
+        f.write(r.stdout)
+
+
 def make_icons(dest_icons, test_data):
     """Help-page example charts, rendered by this package's own plot
     tools from the generated fixtures (the reference ships hand-made
@@ -216,6 +246,34 @@ def make_icons(dest_icons, test_data):
         subprocess.run(argv, check=True, env=env, capture_output=True)
 
 
+def make_plot_goldens(test_data):
+    """PNG goldens for the four plotter tools' <tests> blocks (compared
+    by Galaxy with sim_size — pixel identity is not stable across
+    matplotlib versions)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    bindir = os.path.join(os.path.dirname(HERE), "bin")
+    stats_old = os.path.join(test_data, "fastq_stats1.out")
+    stats_ng = os.path.join(test_data, "fastq_stats1_ng.out")
+    jobs = [
+        ["fastq_quality_boxplot_graph.sh", "-i", stats_old,
+         "-t", "fastq_stats1.out", "-o",
+         os.path.join(test_data, "fastq_quality_boxplot1.png")],
+        ["fastx_nucleotide_distribution_graph.sh", "-i", stats_old,
+         "-t", "fastq_stats1.out", "-o",
+         os.path.join(test_data, "fastq_nucleotides_distribution1.png")],
+        ["fastx_nucleotide_distribution_line_graph.sh", "-i", stats_ng,
+         "-o", os.path.join(test_data, "fastq_nucleotides_distribution_line1.png")],
+        ["fasta_clipping_histogram.pl",
+         os.path.join(test_data, "fasta_collapser1.fasta"),
+         os.path.join(test_data, "fasta_clipping_histogram1.png")],
+    ]
+    for argv in jobs:
+        argv[0] = os.path.join(bindir, argv[0])
+        subprocess.run(argv, check=True, env=env, capture_output=True)
+
+
 def main():
     dest = sys.argv[1] if len(sys.argv) > 1 else HERE
     test_data = os.path.join(dest, "test-data")
@@ -231,7 +289,9 @@ def main():
         out = run_tool(tool, argv, fixtures[inp])
         with open(os.path.join(test_data, golden), "wb") as f:
             f.write(out)
-    print("wrote %d fixtures + %d goldens to %s"
+    make_barcode_html_golden(test_data)
+    make_plot_goldens(test_data)
+    print("wrote %d fixtures + %d goldens (+ barcode HTML + 4 plot PNGs) to %s"
           % (len(INPUTS), len(GOLDENS), test_data))
     make_icons(os.path.join(dest, "static", "fastx_icons"), test_data)
     print("wrote example charts to %s" % os.path.join(dest, "static", "fastx_icons"))

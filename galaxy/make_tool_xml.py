@@ -103,10 +103,26 @@ TOOLS = [
 
     ("cshl_fastx_clipper_tpu", "Clip adapter sequences",
      "(TPU Pallas DP engine)",
-     "cat '$input' |\nfastx_clipper\n" + Q_SWITCH + "\n -l $minlength -a '$clip_sequence' -d $keepdelta -o '$output' -v $KEEP_N $DISCARD_OPTIONS",
+     "cat '$input' |\nfastx_clipper\n" + Q_SWITCH + "\n -l $minlength -a '$clip_source.clip_sequence' -d $keepdelta -o '$output' -v $KEEP_N $DISCARD_OPTIONS",
      FASTX_INPUT + """
 		<param name="minlength" type="integer" value="15" label="Minimum sequence length (after clipping)" />
-		<param name="clip_sequence" type="text" value="CCTTAAGG" label="Adapter sequence to clip" />
+		<conditional name="clip_source">
+			<param name="clip_source_list" type="select" label="Source">
+				<option value="prebuilt" selected="true">Standard (select from the list below)</option>
+				<option value="user">Enter custom sequence</option>
+			</param>
+			<when value="user">
+				<param name="clip_sequence" type="text" value="AATTGGCC" label="Enter custom clipping sequence" />
+			</when>
+			<when value="prebuilt">
+				<param name="clip_sequence" type="select" label="Choose Adapter">
+					<options from_file="fastx_clipper_sequences.txt">
+						<column name="name" index="1"/>
+						<column name="value" index="0"/>
+					</options>
+				</param>
+			</when>
+		</conditional>
 		<param name="keepdelta" type="integer" value="0" label="Keep the adapter and N bases after it" />
 		<param name="KEEP_N" type="select" label="Discard sequences with unknown (N) bases">
 			<option value="">yes</option>
@@ -119,6 +135,7 @@ TOOLS = [
 		</param>""",
      "input",
      [({"input": "fastx_clipper1.fastq", "minlength": "15",
+        "clip_source_list": "user",
         "clip_sequence": "CAATTGGTTAATCCCCCTATATA", "keepdelta": "0",
         "KEEP_N": "-n", "DISCARD_OPTIONS": "-c"}, "fastx_clipper1a.out")]),
 
@@ -204,32 +221,43 @@ TOOLS = [
      "cat '$input' |\nfastx_quality_stats\n" + Q_SWITCH + "\n -N -o '$output'",
      '<param format="fasta,fastq,fastqsanger" name="input" type="data" label="Library to analyse" />',
      "tabular",
-     []),
+     [({"input": "fastq_stats1.fastq"}, "fastq_stats1_ng.out")]),
 
+    # plotter goldens are rendered PNGs; pixel identity is not stable
+    # across matplotlib versions, so Galaxy's sim_size comparison is used
     ("cshl_fastq_quality_boxplot_tpu", "Draw quality score boxplot",
      "",
      "fastq_quality_boxplot_graph.sh -t '$input.name' -i $input -o '$output'",
      '<param format="txt,tabular" name="input" type="data" label="Statistics report file" />',
-     "png", []),
+     "png",
+     [({"input": "fastq_stats1.out"},
+       ("fastq_quality_boxplot1.png", 'compare="sim_size" delta="20000"'))]),
 
     ("cshl_fastx_nucleotides_distribution_tpu", "Draw nucleotides distribution chart",
      "",
      "fastx_nucleotide_distribution_graph.sh -t '$input.name' -i $input -o '$output'",
      '<param format="txt,tabular" name="input" type="data" label="Statistics report file" />',
-     "png", []),
+     "png",
+     [({"input": "fastq_stats1.out"},
+       ("fastq_nucleotides_distribution1.png", 'compare="sim_size" delta="20000"'))]),
 
     ("cshl_fastx_nucleotides_distribution_line_plot_tpu",
      "Draw nucleotides distribution line chart",
      "",
      "fastx_nucleotide_distribution_line_graph.sh -i '$input' -o '$output'",
      '<param format="txt,tabular" name="input" type="data" label="Statistics report file (new -N format)" />',
-     "png", []),
+     "png",
+     [({"input": "fastq_stats1_ng.out"},
+       ("fastq_nucleotides_distribution_line1.png", 'compare="sim_size" delta="20000"'))]),
 
     ("cshl_fasta_clipping_histogram_tpu", "Length distribution chart",
      "",
      "fasta_clipping_histogram.pl $input $outfile",
      '<param format="fasta" name="input" type="data" label="Library to analyze" />',
-     "png", []),
+     "png",
+     [({"input": "fasta_collapser1.fasta"},
+       ("fasta_clipping_histogram1.png", 'compare="sim_size" delta="20000"',
+        "outfile"))]),
 
     ("cshl_fastx_barcode_splitter_tpu", "Barcode Splitter",
      "(TPU hamming matcher)",
@@ -243,7 +271,10 @@ TOOLS = [
 		</param>
 		<param name="mismatches" type="integer" value="2" label="Number of allowed mismatches" />
 		<param name="partial" type="integer" value="0" label="Number of allowed barcodes nucleotide deletions" />""",
-     "html", []),
+     "html",
+     [({"BARCODE": "fastx_barcode_splitter1.txt",
+        "input": "fastx_barcode_splitter1.fastq", "EOL": "--bol",
+        "mismatches": "2", "partial": "0"}, "fastx_barcode_splitter1.out")]),
 ]
 
 
@@ -258,12 +289,18 @@ def render(tool):
         out_elem = '<data format="png" name="outfile" metadata_source="input" />'
     tests_xml = []
     for params, golden in tests:
+        # golden: "file" or ("file", extra output attrs[, output name])
+        attrs, out_name = "", "output"
+        if isinstance(golden, tuple):
+            if len(golden) == 3:
+                out_name = golden[2]
+            golden, attrs = golden[0], " " + golden[1]
         rows = "\n".join(
             '\t\t\t<param name="%s" value="%s" />' % (k, v) for k, v in params.items()
         )
         tests_xml.append(
-            "\t\t<test>\n%s\n\t\t\t<output name=\"output\" file=\"%s\" />\n\t\t</test>"
-            % (rows, golden)
+            "\t\t<test>\n%s\n\t\t\t<output name=\"%s\" file=\"%s\"%s />\n\t\t</test>"
+            % (rows, out_name, golden, attrs)
         )
     tests_block = "\t<tests>\n%s\n\t</tests>\n" % "\n".join(tests_xml) if tests_xml else ""
     return """<tool id="%s" name="%s" version="0.1.0">

@@ -82,3 +82,70 @@ def test_icons_are_png():
     for n in names:
         with open(os.path.join(icons, n), "rb") as f:
             assert f.read(4) == b"\x89PNG"
+
+
+def test_every_xml_has_tests_and_fixtures_exist():
+    """23/23 tool XMLs carry a <tests> block (the reference leaves the
+    four plotters untested; we cover them with sim_size PNG goldens),
+    and every file a test references exists in test-data."""
+    import re
+
+    xml_dir = os.path.join(REPO, "galaxy", "tools", "fastx_toolkit_tpu")
+    xmls = sorted(f for f in os.listdir(xml_dir) if f.endswith(".xml"))
+    assert len(xmls) == 23
+    td_files = set(os.listdir(TD))
+    for name in xmls:
+        with open(os.path.join(xml_dir, name)) as f:
+            xml = f.read()
+        assert "<tests>" in xml, "%s has no <tests> block" % name
+        for m in re.finditer(r'(?<!from_)(?:value|file)="([^"]+\.(?:fastq|fasta|txt|out|psl|png))"', xml):
+            assert m.group(1) in td_files, "%s references missing %s" % (name, m.group(1))
+
+
+def test_clipper_xml_sources_prebuilt_adapter_list():
+    """The prebuilt-adapter <conditional> sources fastx_clipper_sequences
+    .txt like the reference (fastx_clipper.xml:20-40), and the shipped
+    tool-data file parses as (sequence TAB name) rows."""
+    with open(os.path.join(REPO, "galaxy", "tools", "fastx_toolkit_tpu",
+                           "fastx_clipper.xml")) as f:
+        xml = f.read()
+    assert '<conditional name="clip_source">' in xml
+    assert 'from_file="fastx_clipper_sequences.txt"' in xml
+    assert "'$clip_source.clip_sequence'" in xml
+    with open(os.path.join(REPO, "galaxy", "tool-data",
+                           "fastx_clipper_sequences.txt")) as f:
+        rows = [l.split("\t") for l in f.read().splitlines()
+                if l.strip() and not l.startswith("#")]
+    assert rows and all(len(r) >= 2 for r in rows)
+    import re
+    assert all(re.fullmatch(r"[ACGTN]+", r[0]) for r in rows)
+
+
+def test_barcode_splitter_html_golden_matches_wrapper():
+    """fastx_barcode_splitter1.out is exactly what the Galaxy wrapper
+    prints for the XML's test parameters."""
+    import tempfile
+
+    env = dict(os.environ, PYTHONPATH="/root/.axon_site:" + REPO,
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    with tempfile.TemporaryDirectory() as files_path:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "galaxy", "fastx_barcode_splitter_galaxy_wrapper.py"),
+             os.path.join(TD, "fastx_barcode_splitter1.txt"),
+             os.path.join(TD, "fastx_barcode_splitter1.fastq"),
+             "fastx_barcode_splitter1.fastq", files_path,
+             "--mismatches", "2", "--partial", "0", "--bol"],
+            capture_output=True, timeout=600, env=env,
+        )
+    assert r.returncode == 0, r.stderr
+    with open(os.path.join(TD, "fastx_barcode_splitter1.out"), "rb") as f:
+        assert r.stdout == f.read()
+
+
+def test_plot_goldens_are_png():
+    for n in ("fastq_quality_boxplot1.png", "fastq_nucleotides_distribution1.png",
+              "fastq_nucleotides_distribution_line1.png",
+              "fasta_clipping_histogram1.png"):
+        with open(os.path.join(TD, n), "rb") as f:
+            assert f.read(4) == b"\x89PNG", n

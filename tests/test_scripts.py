@@ -2,6 +2,7 @@
 
 import io
 import os
+import shutil
 import subprocess
 import sys
 
@@ -94,6 +95,53 @@ def test_galaxy_barcode_wrapper(tmp_path):
     assert "<html><body><table border=1>" in r.stdout
     assert "BC1</td><td>11" in r.stdout.replace("\n", "")
     assert (outdir / "testlib__BC1.txt").exists()
+
+
+def test_galaxy_barcode_wrapper_differential_vs_reference_sh(tmp_path):
+    """Byte-compare our wrapper's HTML + every split file against the
+    actual reference shell wrapper (fastx_barcode_splitter_galaxy_wrapper
+    .sh:46-89 — libname sanitization, sed HTML table, link rewriting),
+    which runs the real Perl splitter underneath."""
+    ref_sh = ("/root/reference/galaxy/tools/fastx_toolkit/"
+              "fastx_barcode_splitter_galaxy_wrapper.sh")
+    if not (shutil.which("perl") and shutil.which("bash")
+            and os.path.exists(ref_sh)):
+        pytest.skip("reference wrapper prerequisites unavailable")
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/.axon_site:/root/repo",
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+    )
+    bc = os.path.join(TEST_DATA, "fastx_barcode_splitter1.txt")
+    fq = os.path.join(TEST_DATA, "fastx_barcode_splitter1.fastq")
+    # libname exercises the sanitizer: .txt strip + non-alnum deletion
+    libname = "my lib-1.2.txt"
+    for args in (["--bol", "--mismatches", "2"],
+                 ["--eol", "--mismatches", "1", "--partial", "1"]):
+        refdir = tmp_path / ("ref" + args[0])
+        ourdir = tmp_path / ("our" + args[0])
+        r_ref = subprocess.run(
+            ["bash", ref_sh, bc, fq, libname, str(refdir), *args],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PATH="/root/reference/scripts:"
+                     + os.environ["PATH"]),
+        )
+        r_our = subprocess.run(
+            [sys.executable, "galaxy/fastx_barcode_splitter_galaxy_wrapper.py",
+             bc, fq, libname, str(ourdir), *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+            env=env,
+        )
+        assert r_our.returncode == r_ref.returncode == 0, (r_our.stderr,
+                                                           r_ref.stderr)
+        # links carry only basenames, so the HTML is path-independent
+        assert r_our.stdout == r_ref.stdout
+        ref_files = sorted(os.listdir(refdir))
+        assert sorted(os.listdir(ourdir)) == ref_files
+        assert ref_files and ref_files[0].startswith("mylib12__")
+        for f in ref_files:
+            assert (ourdir / f).read_bytes() == (refdir / f).read_bytes(), f
 
 
 def test_galaxy_layer_covers_reference_tool_list():
