@@ -155,8 +155,14 @@ def _uncollapse_tabular(ctx, args, column: int):
         out = []
         for line in lines:
             input_count += 1
-            tokens = line.split(b"\t")
+            # gtextutils String_Tokenize semantics (the canonical
+            # find_first_not_of tokenizer): consecutive / leading /
+            # trailing tabs produce NO empty tokens, so an empty line has
+            # zero columns (fastx_uncollapser.cpp:150)
+            tokens = [t for t in line.split(b"\t") if t]
             if len(tokens) < column:
+                if out:  # the reference streams: lines before the bad
+                    writer.write(b"".join(x + b"\n" for x in out))
                 print(
                     "Input error in file '%s' line %d: got only %d columns, "
                     "but collapsed identifier column (-c) is %d"
