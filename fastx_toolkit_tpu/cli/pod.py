@@ -30,6 +30,8 @@ Run TOOL as N cooperating worker processes (multi-host execution model).
 
    -n N                 = number of worker processes (default 2).
    --cpu                = force the CPU backend in the workers (testing).
+   --pin-cores          = pin worker K to CPU core K via taskset
+                          (single-machine scaling measurements).
    --coordinator H:P    = jax.distributed coordinator address
                           (default 127.0.0.1:19873).
    --                   = everything after this is the tool command line.
@@ -40,6 +42,7 @@ def main(argv=None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     n = 2
     cpu = False
+    pin_cores = False
     coordinator = "127.0.0.1:19873"
     tool_cmd = None
     i = 0
@@ -50,6 +53,8 @@ def main(argv=None) -> int:
             n = int(args[i])
         elif a == "--cpu":
             cpu = True
+        elif a == "--pin-cores":
+            pin_cores = True
         elif a == "--coordinator":
             i += 1
             coordinator = args[i]
@@ -71,6 +76,19 @@ def main(argv=None) -> int:
         sys.stderr.write("fastx_pod: -n must be >= 1\n")
         return 1
 
+    # resolve a bare tool name against this package's bin/ shims when it
+    # is not already on PATH (so `fastx_pod -- fastx_quality_stats ...`
+    # works from a source checkout)
+    import shutil
+
+    if "/" not in tool_cmd[0] and shutil.which(tool_cmd[0]) is None:
+        bindir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "bin")
+        cand = os.path.join(bindir, tool_cmd[0])
+        if os.path.exists(cand):
+            tool_cmd[0] = cand
+
     procs = []
     for rank in range(n):
         env = dict(
@@ -87,7 +105,11 @@ def main(argv=None) -> int:
             env.pop("XLA_FLAGS", None)
         env.pop("FASTX_TPU_NUM_SHARDS", None)
         env.pop("FASTX_TPU_SHARD_ID", None)
-        procs.append(subprocess.Popen(tool_cmd, env=env))
+        cmd = tool_cmd
+        if pin_cores:
+            ncpu = os.cpu_count() or 1
+            cmd = ["taskset", "-c", str(rank % ncpu), *tool_cmd]
+        procs.append(subprocess.Popen(cmd, env=env))
     status = 0
     for p in procs:
         rc = p.wait()

@@ -22,6 +22,11 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _i8p = ctypes.POINTER(ctypes.c_int8)
 
+# native hot-loop thread count: 0 = auto (hardware_concurrency); set
+# FASTX_NATIVE_THREADS=1 when running several cooperating processes on
+# one machine (e.g. fastx_pod scaling runs) so they don't oversubscribe
+_NT = int(os.environ.get("FASTX_NATIVE_THREADS", "0"))
+
 
 def _build() -> bool:
     try:
@@ -91,7 +96,7 @@ def gather_rows(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
     out = np.empty((n, width), np.uint8)
     LIB.fx_gather_rows(
         ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p), n, width,
-        ptr(out, _u8p), 0,
+        ptr(out, _u8p), _NT,
     )
     return out
 
@@ -110,7 +115,7 @@ def quals_from_ascii(buf, starts, lens, width, q_offset):
     out = np.empty((n, width), np.int8)
     bad = LIB.fx_quals_from_ascii(
         ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p), n, width,
-        q_offset, ptr(out, _i8p), 0,
+        q_offset, ptr(out, _i8p), _NT,
     )
     return out, int(bad)
 
@@ -161,7 +166,7 @@ def render_fastq(bases, quals, lens, name_buf, name_offs, name2_buf,
         ptr(rec_offs, _i64p), q_offset, dst,
         ptr(keep_arr, _u8p) if keep_arr is not None else None,
         0 if mask_thr is None else 1,
-        0 if mask_thr is None else int(mask_thr), mask_char, 0,
+        0 if mask_thr is None else int(mask_thr), mask_char, _NT,
     )
     return buf.tobytes() if out is None else total
 
@@ -184,7 +189,7 @@ def render_fasta(bases, lens, name_buf, name_offs, keep=None,
         ptr(bases, _u8p), ptr(lens, _i32p), n, width,
         ptr(name_buf, _u8p), ptr(name_offs, _i64p), ptr(rec_offs, _i64p),
         dst,
-        ptr(keep_arr, _u8p) if keep_arr is not None else None, 0,
+        ptr(keep_arr, _u8p) if keep_arr is not None else None, _NT,
     )
     return buf.tobytes() if out is None else total
 
@@ -215,7 +220,7 @@ def pack2(bases, quals, thresholds, include_nplane: bool):
     planes = np.empty((n, n_planes, (L + 7) // 8), np.uint8)
     LIB.fx_pack2(ptr(bases, _u8p), ptr(quals, _i8p), n, L, ptr(thr, _i8p),
                  len(thr), 1 if include_nplane else 0, ptr(b2, _u8p),
-                 ptr(planes, _u8p), 0)
+                 ptr(planes, _u8p), _NT)
     return b2, planes
 
 
@@ -226,7 +231,7 @@ def pack4(bases, quals, thresholds):
     b4 = np.empty((n, (L + 1) // 2), np.uint8)
     planes = np.empty((n, len(thr), (L + 7) // 8), np.uint8)
     LIB.fx_pack4(ptr(bases, _u8p), ptr(quals, _i8p), n, L, ptr(thr, _i8p),
-                 len(thr), ptr(b4, _u8p), ptr(planes, _u8p), 0)
+                 len(thr), ptr(b4, _u8p), ptr(planes, _u8p), _NT)
     return b4, planes
 
 
@@ -237,5 +242,5 @@ def gather_flat(buf, starts, lens):
     np.cumsum(lens, out=offs[1:])
     out = np.empty(offs[-1], np.uint8)
     LIB.fx_gather_flat(ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p),
-                       ptr(offs, _i64p), n, ptr(out, _u8p), 0)
+                       ptr(offs, _i64p), n, ptr(out, _u8p), _NT)
     return out, offs

@@ -284,6 +284,10 @@ def test_two_process_tools_end_to_end(tmp_path):
         ["fastq_quality_trimmer", ["-v", "-t", "20", "-l", "5",
                                    "-i", str(fq_path), "-o", str(tmp_path / "trim.out")]],
         ["fastx_uncollapser", ["-v", "-i", str(col_path), "-o", str(tmp_path / "unc.out")]],
+        # the fused packed pipeline (one device program for the chain)
+        ["fastx_pipeline", ["-v", "-Q", "33", "-i", str(fq_path),
+                            "-o", str(tmp_path / "pipe.out"),
+                            "fastx_trimmer -f 2 -l 60 | fastq_quality_trimmer -t 20 -l 5 | fastq_masker -q 20"]],
     ]
     cmds_path = tmp_path / "cmds.json"
     cmds_path.write_text(json.dumps(cmds))
@@ -332,6 +336,13 @@ def test_two_process_tools_end_to_end(tmp_path):
         ["-v", "-t", "20", "-l", "5", "-i", str(fq_path), "-o", "-"],
     )
     exp_unc = util.run_tool(fastx_uncollapser, ["-v", "-i", str(col_path), "-o", "-"])
+    from fastx_toolkit_tpu.cli.tools import fastx_pipeline
+
+    exp_pipe = util.run_tool(
+        fastx_pipeline,
+        ["-v", "-Q", "33", "-i", str(fq_path), "-o", "-",
+         "fastx_trimmer -f 2 -l 60 | fastq_quality_trimmer -t 20 -l 5 | fastq_masker -q 20"],
+    )
 
     assert (tmp_path / "stats.out").read_bytes() == exp_stats.stdout
     assert (tmp_path / "col.out").read_bytes() == exp_col.stdout
@@ -345,12 +356,18 @@ def test_two_process_tools_end_to_end(tmp_path):
         for k in range(2)
     )
     assert unc_parts == exp_unc.stdout
+    pipe_parts = b"".join(
+        (tmp_path / ("pipe.out.shard-%05d-of-00002" % k)).read_bytes()
+        for k in range(2)
+    )
+    assert pipe_parts == exp_pipe.stdout
 
     # merged -v reports print once, on process 0, with global counters.
     # reports went to stdout (-o given); worker stdout = reports in command
     # order + ALL-OK
     rank0_reports = outs[0].replace("ALL-OK\n", "")
-    expected_reports = exp_col.report + exp_trim.report + exp_unc.report
+    expected_reports = (exp_col.report + exp_trim.report + exp_unc.report
+                        + exp_pipe.report)
     assert rank0_reports == expected_reports
     assert outs[1].replace("ALL-OK\n", "") == ""
 
