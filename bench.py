@@ -23,6 +23,12 @@ Extra modes (VERDICT round-1 item #2):
   --scaling      multi-host scaling efficiency: fastx_quality_stats as
                  1 vs N cooperating fastx_pod processes (CPU backend,
                  core-pinned), merged output byte-verified
+  --host         host-codec-only throughput: the exact run_once loop
+                 (parse -> pack -> render, fused keep/mask) with the
+                 device stubbed out.  On a production host with local
+                 PCIe the chip (--device, ~3.4M r/s) outruns the link,
+                 so min(--host, --device) is the projected end-to-end
+                 production ceiling; this measures the host leg of it.
 """
 
 import json
@@ -833,6 +839,51 @@ def device_only(config_n: int = 0):
         emit(config_n, rps, suffix="_device_resident")
 
 
+def host_only():
+    """Host-codec-only throughput: the exact run_once overlapped loop
+    (BatchReader parse -> scan_alphabet + pack_batch2 -> fused
+    keep/mask native render into the arena) with the device step
+    replaced by an identity stub.  This is the host leg of a
+    production deployment: with a local PCIe link the chip's fused
+    step (--device) is ~3.4M r/s, so whichever of --host/--device is
+    smaller bounds end-to-end throughput there.  Conservative in one
+    way: the stub keeps every read, so the render pass writes ~15%
+    more bytes than the real pipeline does.
+
+    `python bench.py --host`"""
+    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig
+
+    cfg = PipelineConfig(adapter=ADAPTER)
+
+    def stub(b2_or_b4, planes, lengths):
+        lens = np.asarray(lengths, np.int32)
+        return lens, np.ones(len(lens), bool)
+
+    fns = (stub, stub, stub)
+    data = synth_lane_bytes(N_READS, READ_LEN)
+    print("host lane: %d reads, %d bytes" % (N_READS, len(data)), file=sys.stderr)
+    arena = np.empty(len(data) + (1 << 20), np.uint8)
+    arena[::4096] = 0
+    run_once(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena)  # warm
+    times = []
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 5))):
+        t0 = time.perf_counter()
+        n, nbytes = run_once(data, fns, cfg, arena)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
+              % (it, dt, n / dt, nbytes), file=sys.stderr)
+    rps = N_READS / min(times)
+    print(json.dumps({
+        "metric": "reads_per_sec_host_codec_only",
+        "value": round(rps, 1),
+        "unit": "reads/sec",
+        "vs_baseline": round(rps / C_BASELINE_READS_PER_SEC, 3),
+        "note": "parse+pack+render only, device stubbed; production "
+                "end-to-end ~ min(this, --device)",
+    }))
+
+
 def scaling(n_procs: int = 2):
     """Multi-host scaling efficiency on this machine: run
     fastx_quality_stats over the lane as 1 process and as N cooperating
@@ -942,6 +993,9 @@ def main():
         if "--procs" in sys.argv:
             n_procs = int(sys.argv[sys.argv.index("--procs") + 1])
         scaling(n_procs)
+        return
+    if "--host" in sys.argv:
+        host_only()
         return
     if "--device" in sys.argv:
         device_only(config_n)

@@ -12,6 +12,12 @@ import os
 
 import pytest  # noqa: F401
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long randomized sweeps (always run; marker is informational)"
+    )
+
 if not os.environ.get("FASTX_TPU_TEST_REAL"):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
