@@ -26,6 +26,11 @@ def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
         platform in ("tpu", "axon")
         and not os.environ.get("FASTX_TPU_NO_PALLAS")
         and B % 1024 == 0
+        # packed path-stat field bounds (align_batch_pallas docstring);
+        # always true for reference-legal inputs (adapter <= 100,
+        # reads <= 25000)
+        and len(adapter) <= 255
+        and bases.shape[1] + len(adapter) + 264 < (1 << 15)
     )
     if use_pallas:
         tile = 2048 if B % 2048 == 0 else 1024

@@ -119,3 +119,29 @@ def test_pallas_interpret_matches_jnp():
     }
     for k in ref:
         np.testing.assert_array_equal(ref[k], out[k], err_msg=k)
+
+
+@pytest.mark.slow
+def test_pallas_packed_field_bounds():
+    """Stress the bit-packed path-statistic planes (align_pallas P1/P2):
+    long reads (gap counts far beyond one byte), a long adapter (H_pad >
+    one sublane tile, deeper scan), and heavy N content."""
+    from fastx_toolkit_tpu.kernels.align_pallas import align_batch_pallas
+
+    rng = np.random.default_rng(11)
+    B, L = 128, 256
+    adapter = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=64))
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    bases = rng.choice(alpha, size=(B, L), p=[0.22, 0.22, 0.22, 0.22, 0.12])
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    cols = np.arange(L)
+    bases[cols[None, :] >= lengths[:, None]] = 0
+    ref = {k: np.asarray(v) for k, v in align.align_batch(bases, lengths, adapter).items()}
+    out = {
+        k: np.asarray(v)
+        for k, v in align_batch_pallas(
+            bases, lengths, adapter, tile_b=128, interpret=True
+        ).items()
+    }
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], out[k], err_msg=k)
