@@ -428,8 +428,13 @@ def _hist_from_b2_fn():
 
 
 def run_config_stats(device_resident: bool = False):
-    """Config 3: fastx_quality_stats over the lane — parse -> 2-bit packed
-    upload -> Pallas one-hot-matmul histogram -> exact stats table."""
+    """Config 3: fastx_quality_stats over the lane.
+
+    Link-aware like the CLI (ops/stats.py stats_path): on this rig the
+    device link is a ~20 MB/s tunnel, so the default is the host C++
+    histogram kernel (one int64 increment per base, threaded) overlapped
+    with the parse; FASTX_STATS_PATH=device selects the packed-upload +
+    Pallas one-hot-matmul path (what a PCIe-local host would run)."""
     import io
     from collections import deque
     from types import SimpleNamespace
@@ -442,6 +447,10 @@ def run_config_stats(device_resident: bool = False):
     from fastx_toolkit_tpu.kernels.stats_pallas import stats_hist_pallas
     from fastx_toolkit_tpu.ops import stats as stats_ops
     from fastx_toolkit_tpu.engine.pipeline import PipelineConfig
+
+    if not device_resident and stats_ops.stats_path() == "host":
+        run_config_stats_host()
+        return
 
     fn = _hist_from_b2_fn()
 
@@ -530,6 +539,77 @@ def run_config_stats(device_resident: bool = False):
     emit(3, n_reads / min(times))
 
 
+def run_config_stats_host():
+    """Config 3, host path: the CLI's fused raw-line engine — frame the
+    chunk's line spans, validate, and accumulate the per-(cycle, nuc,
+    quality) histogram straight from the byte buffer (fx_stats_lines_q);
+    no padded matrices, no device link."""
+    import io
+    from types import SimpleNamespace
+
+    from fastx_toolkit_tpu.cli.tools._shared import BatchReader
+    from fastx_toolkit_tpu.core import codec, native
+    from fastx_toolkit_tpu.ops import stats as stats_ops
+
+    n_reads = CONFIG_READS.get(3, N_READS)
+    data = synth_lane_bytes(n_reads, READ_LEN)
+    print("config 3 lane: %d reads, %d bytes (host path)" % (n_reads, len(data)),
+          file=sys.stderr)
+    allowed = codec.allowed_table_u8()
+
+    def once() -> bytes:
+        from fastx_toolkit_tpu.cli.tools._shared import prefetch_iter
+
+        args = SimpleNamespace(input_filename="<bench>", q_offset=33)
+        reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
+                             block_bytes=BLOCK_BYTES, stream=io.BytesIO(data))
+
+        def framed():
+            for chunk, line_base in reader.iter_chunks():
+                yield chunk, line_base, codec.frame_fastq_fast(chunk)
+
+        total = None
+        for chunk, line_base, fr in prefetch_iter(framed()):
+            if fr is not None:
+                buf, ss, sl, qs = fr
+                if native.validate_records(buf, ss, sl, qs, allowed, 33) == -1:
+                    width = int(sl.max()) if len(sl) else 0
+                    h = native.stats_lines_q(buf, ss, qs, sl, width, 33)
+                else:
+                    raise RuntimeError("bench lane failed validation")
+            else:  # fallback: full parse + padded-matrix kernel
+                batch = reader.parse_chunk(chunk, line_base)
+                h = native.stats_hist_q(
+                    np.ascontiguousarray(batch.bases, np.uint8),
+                    np.ascontiguousarray(batch.quals, np.int8),
+                    np.ascontiguousarray(batch.lengths, np.int32),
+                )
+            if total is None:
+                total = h
+            elif h.shape[0] <= total.shape[0]:
+                total[: h.shape[0]] += h
+            else:
+                h[: total.shape[0]] += total
+                total = h
+        acc = stats_ops.StatsAccumulator.empty(total.shape[0])
+        acc.merge_partial(*stats_ops.derive_from_hist(total))
+        return stats_ops.render_old_format(acc).encode()
+
+    t0 = time.perf_counter()
+    out = once()
+    print("iter 0 (warm): %.3fs" % (time.perf_counter() - t0), file=sys.stderr)
+    times = []
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
+        t0 = time.perf_counter()
+        out = once()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
+              % (it + 1, dt, n_reads / dt, len(out)), file=sys.stderr)
+    _maybe_dump(out)
+    emit(3, n_reads / min(times))
+
+
 def _collapse_chunks_fn(n_chunks: int):
     import jax
     import jax.numpy as jnp
@@ -587,9 +667,95 @@ def _block_keys(bases: np.ndarray, lengths: np.ndarray, width: int):
     return np.ascontiguousarray(np.concatenate(cols, axis=1))
 
 
+def run_config_collapse_host():
+    """Config 5, host path: the CLI's fused raw-line engine — frame +
+    validate the chunk, insert keys into the native hash table straight
+    from the byte buffer (fx_dedup_insert_lines), rank-count FASTA render
+    at the end."""
+    import io
+    from types import SimpleNamespace
+
+    from fastx_toolkit_tpu.cli.tools._shared import BatchReader
+    from fastx_toolkit_tpu.core import codec, native
+    from fastx_toolkit_tpu.core.records import ReadBatch, StringColumn
+    from fastx_toolkit_tpu.ops.collapse import final_order
+
+    n_reads = CONFIG_READS.get(5, N_READS)
+    data = synth_lane_bytes(n_reads, READ_LEN)
+    print("config 5 lane: %d reads, %d bytes (host path)" % (n_reads, len(data)),
+          file=sys.stderr)
+    arena = np.empty(len(data) + (1 << 20), np.uint8)
+    arena[::4096] = 0
+    allowed = codec.allowed_table_u8()
+
+    def once() -> int:
+        from fastx_toolkit_tpu.cli.tools._shared import prefetch_iter
+
+        args = SimpleNamespace(input_filename="<bench>", q_offset=33)
+        reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
+                             block_bytes=BLOCK_BYTES, stream=io.BytesIO(data))
+
+        def framed():
+            for chunk, line_base in reader.iter_chunks():
+                yield chunk, line_base, codec.frame_fastq_fast(chunk)
+
+        table = native.DedupTable()
+        rec_base = 0
+        for chunk, line_base, fr in prefetch_iter(framed()):
+            if fr is not None:
+                buf, ss, sl, qs = fr
+                if native.validate_records(buf, ss, sl, qs, allowed, 33) == -1:
+                    table.insert_lines(buf, ss, sl, rec_base)
+                    rec_base += len(ss)
+                    continue
+                raise RuntimeError("bench lane failed validation")
+            batch = reader.parse_chunk(chunk, line_base)
+            table.insert(batch.bases, batch.lengths, None, rec_base)
+            rec_base += len(batch)
+        key_offs, key_buf, uniq_counts, uniq_first = table.extract()
+        table.close()
+        order = final_order(uniq_counts, uniq_first)
+        oc = uniq_counts[order]
+        key_lens = np.diff(key_offs)
+        starts = np.ascontiguousarray(key_offs[:-1][order])
+        lens = np.ascontiguousarray(key_lens[order])
+        width = int(lens.max()) if len(lens) else 0
+        out_bases = native.gather_rows(key_buf, starts, lens, width)
+        from fastx_toolkit_tpu.ops.collapse import rank_count_column
+
+        nb, no = rank_count_column(oc)
+        names = StringColumn(nb, no)
+        U = len(oc)
+        out_batch = ReadBatch(
+            bases=out_bases, quals=np.zeros((U, 0), np.int8),
+            lengths=lens.astype(np.int32), counts=np.asarray(oc, np.int32),
+            names=names, names2=StringColumn.from_list([b""] * U),
+            is_fastq=False, qual_ascii=np.ones(U, bool),
+        )
+        return codec.render(out_batch, out_fastq=False, ascii_qual=True,
+                            q_offset=33, out=arena, out_off=0)
+
+    t0 = time.perf_counter()
+    nbytes = once()
+    print("iter 0 (warm): %.3fs" % (time.perf_counter() - t0), file=sys.stderr)
+    times = []
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
+        t0 = time.perf_counter()
+        nbytes = once()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
+              % (it + 1, dt, n_reads / dt, nbytes), file=sys.stderr)
+    _maybe_dump(bytes(arena[:nbytes]))
+    emit(5, n_reads / min(times))
+
+
 def run_config_collapse(device_resident: bool = False):
     """Config 5: fastx_collapser over the lane — parse -> packed sort keys
-    -> device lexsort + segment-reduce -> rank-count FASTA render."""
+    -> device lexsort + segment-reduce -> rank-count FASTA render.
+    Link-aware like the CLI (cli/tools/fastx_collapser.py collapse_path):
+    the default is the native hash-table engine;
+    FASTX_COLLAPSE_PATH=device selects the device sort path."""
     import io
     from types import SimpleNamespace
 
@@ -599,6 +765,13 @@ def run_config_collapse(device_resident: bool = False):
     from fastx_toolkit_tpu.core import codec
     from fastx_toolkit_tpu.core.records import ReadBatch, StringColumn
     from fastx_toolkit_tpu.ops.collapse import final_order
+
+    if not device_resident:
+        from fastx_toolkit_tpu.cli.tools.fastx_collapser import collapse_path
+
+        if collapse_path() == "host":
+            run_config_collapse_host()
+            return
 
     if device_resident:
         from fastx_toolkit_tpu.ops.collapse import collapse_jit

@@ -44,6 +44,38 @@ def in_out_report(rep, n_in: int, n_out: int):
     rep.write("Output: %d reads.\n" % n_out)
 
 
+def prefetch_iter(it, depth: int = 2):
+    """Run a generator on a background thread with a bounded queue so the
+    producer (chunk framing / parsing) overlaps the consumer's native
+    kernels.  Exceptions re-raise in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err = []
+    done = object()
+
+    def run():
+        try:
+            for x in it:
+                q.put(x)
+        except BaseException as e:  # surfaced in the consuming thread
+            err.append(e)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        x = q.get()
+        if x is done:
+            break
+        yield x
+    t.join()
+    if err:
+        raise err[0]
+
+
 class BatchReader:
     """Chunked streaming reader: yields ReadBatch objects of complete
     records so tools run in constant memory on arbitrarily large inputs.
@@ -128,7 +160,10 @@ class BatchReader:
         )
         f.seek(self._shard_start)
 
-    def __iter__(self):
+    def iter_chunks(self):
+        """Yield raw ``(chunk_bytes, line_number_base)`` pairs cut at
+        whole-record boundaries (the framing half of __iter__, exposed so
+        the fused host fast paths can consume line spans directly)."""
         import numpy as _np
 
         codec = self._codec
@@ -160,37 +195,39 @@ class BatchReader:
                 )
                 first = False
             if not block:
-                # EOF: parse everything that remains
+                # EOF: everything that remains is the final chunk
                 if data:
-                    yield codec.parse(
-                        data,
-                        filetype=self.filetype,
-                        allow_n=self.allow_n,
-                        allow_u=self.allow_u,
-                        q_offset=self.args.q_offset,
-                        input_name=self.args.input_filename,
-                        line_number_base=line_base,
-                        is_fastq=self.is_fastq,
-                    )
+                    yield data, line_base
                 return
             lpr = 4 if self.is_fastq else 2
-            # cut at the last whole-record boundary
-            buf = _np.frombuffer(data, _np.uint8)
-            nl = _np.flatnonzero(buf == 0x0A)
-            nrec = len(nl) // lpr
+            # cut at the last whole-record boundary: SIMD newline count,
+            # then walk the few trailing partial lines backward with
+            # rfind (no O(n) index materialization)
+            count = int(_np.count_nonzero(_np.frombuffer(data, _np.uint8) == 0x0A))
+            nrec = count // lpr
             if nrec == 0:
                 carry = data
                 continue
-            cut = int(nl[nrec * lpr - 1]) + 1
+            pos = len(data)
+            for _ in range(count - nrec * lpr):
+                pos = data.rfind(b"\n", 0, pos)
+            cut = data.rfind(b"\n", 0, pos) + 1
             chunk, carry = data[:cut], data[cut:]
-            yield codec.parse(
-                chunk,
-                filetype=self.filetype,
-                allow_n=self.allow_n,
-                allow_u=self.allow_u,
-                q_offset=self.args.q_offset,
-                input_name=self.args.input_filename,
-                line_number_base=line_base,
-                is_fastq=self.is_fastq,
-            )
+            yield chunk, line_base
             line_base += nrec * lpr
+
+    def parse_chunk(self, chunk: bytes, line_base: int):
+        return self._codec.parse(
+            chunk,
+            filetype=self.filetype,
+            allow_n=self.allow_n,
+            allow_u=self.allow_u,
+            q_offset=self.args.q_offset,
+            input_name=self.args.input_filename,
+            line_number_base=line_base,
+            is_fastq=self.is_fastq,
+        )
+
+    def __iter__(self):
+        for chunk, line_base in self.iter_chunks():
+            yield self.parse_chunk(chunk, line_base)

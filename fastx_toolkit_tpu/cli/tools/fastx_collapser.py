@@ -4,15 +4,31 @@ Reference: /root/reference/src/fastx_collapser/fastx_collapser.cpp
 Tie order among equal counts: the reference exposes libstdc++ hash-table
 iteration order (implementation-defined); we use first-appearance order
 (documented deterministic choice, see ops/collapse.py).
+
+Two dedup engines with identical observable output:
+
+* host — native C++ hash table (native/fastx_codec.cpp fx_dedup_*), the
+  reference's own data structure vectorized and sharded; nothing ships
+  over the device link.  Default whenever the native codec is available:
+  dedup is pointer-chasing over unique keys, which a hash table does in
+  O(bytes) while the device engine pays a full sort — the device only
+  wins when the data is already resident (fused pipelines, --device
+  benches).
+* device — sort + segment-reduce (ops/collapse.py), used when the native
+  library is unavailable and by the device-resident benchmarks; also the
+  primitive behind parallel.mesh.sharded_collapse.
+
+FASTX_COLLAPSE_PATH=host|device overrides the choice.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
-from ...core import codec
+from ...core import codec, native
 from ...core.records import ReadBatch, StringColumn
 from ...engine.pipeline import to_device
 from ...ops import collapse
@@ -33,38 +49,91 @@ USAGE = (
 )
 
 
+def collapse_path() -> str:
+    p = os.environ.get("FASTX_COLLAPSE_PATH", "auto")
+    if p == "device":
+        return "device"
+    if p == "host":
+        if native.LIB is None:
+            raise RuntimeError(
+                "FASTX_COLLAPSE_PATH=host requires the native codec library"
+            )
+        return "host"
+    return "host" if native.LIB is not None else "device"
+
+
 def tool_main(ctx: CliContext, argv) -> int:
     args = common.parse_cmdline(ctx, argv, "", None, USAGE)
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
+    path = collapse_path()
 
-    # streaming accumulation: per-chunk device dedup (sort+segment-reduce)
-    # shrinks each chunk to its unique sequences; a host table merges
-    # chunks (count sum, min first-appearance)
-    table: dict = {}
     n_in_seq = 0
     n_in_reads = 0
     rec_base = 0
-    for batch in reader:
-        (bases, quals, lengths, counts), nb = to_device(batch)
-        uniq_idx, uniq_counts, uniq_first = collapse.collapse_batch(
-            np.asarray(bases), np.asarray(counts)
+
+    if path == "host":
+        allowed = codec.allowed_table_u8()
+        table_native = native.DedupTable()
+        for chunk, line_base in reader.iter_chunks():
+            handled = False
+            if reader.is_fastq:
+                # fused raw-line fast path (see fastx_quality_stats):
+                # validate first — the persistent table must not see rows
+                # from a chunk that the full parser would reject
+                fr = codec.frame_fastq_fast(chunk)
+                if fr is not None:
+                    buf, ss, sl, qs = fr
+                    if native.validate_records(
+                        buf, ss, sl, qs, allowed, args.q_offset
+                    ) == -1:
+                        table_native.insert_lines(buf, ss, sl, rec_base)
+                        n_in_seq += len(ss)
+                        n_in_reads += len(ss)  # FASTQ multiplicity is 1
+                        rec_base += len(ss)
+                        handled = True
+            if not handled:
+                batch = reader.parse_chunk(chunk, line_base)
+                table_native.insert(
+                    batch.bases, batch.lengths, batch.counts, rec_base
+                )
+                n_in_seq += len(batch)
+                n_in_reads += int(batch.counts.sum())
+                rec_base += len(batch)
+        key_offs, key_buf, uniq_counts, uniq_first = table_native.extract()
+        table_native.close()
+    else:
+        # streaming accumulation: per-chunk device dedup (sort+segment-
+        # reduce) shrinks each chunk to its unique sequences; a host table
+        # merges chunks (count sum, min first-appearance)
+        table: dict = {}
+        for batch in reader:
+            (bases, quals, lengths, counts), nb = to_device(batch)
+            uniq_idx, uc, uf = collapse.collapse_batch(
+                np.asarray(bases), np.asarray(counts)
+            )
+            real = (uniq_idx < nb) & (uc > 0)
+            uniq_idx, uc, uf = uniq_idx[real], uc[real], uf[real]
+            bmat = np.asarray(batch.bases)
+            blens = np.asarray(batch.lengths)
+            for ridx, c, f in zip(uniq_idx, uc, uf):
+                seq = bmat[ridx, : blens[ridx]].tobytes()
+                ent = table.get(seq)
+                if ent is None:
+                    table[seq] = [int(c), rec_base + int(f)]
+                else:
+                    ent[0] += int(c)
+            n_in_seq += nb
+            n_in_reads += int(batch.counts.sum())
+            rec_base += nb
+        seqs = list(table.keys())
+        uniq_counts = np.array([table[s][0] for s in seqs], np.int64)
+        uniq_first = np.array([table[s][1] for s in seqs], np.int64)
+        key_buf = (
+            np.frombuffer(b"".join(seqs), np.uint8)
+            if seqs else np.zeros(0, np.uint8)
         )
-        real = (uniq_idx < nb) & (uniq_counts > 0)
-        uniq_idx, uniq_counts, uniq_first = (
-            uniq_idx[real], uniq_counts[real], uniq_first[real]
-        )
-        bmat = np.asarray(batch.bases)
-        blens = np.asarray(batch.lengths)
-        for ridx, c, f in zip(uniq_idx, uniq_counts, uniq_first):
-            seq = bmat[ridx, : blens[ridx]].tobytes()
-            ent = table.get(seq)
-            if ent is None:
-                table[seq] = [int(c), rec_base + int(f)]
-            else:
-                ent[0] += int(c)
-        n_in_seq += nb
-        n_in_reads += int(batch.counts.sum())
-        rec_base += nb
+        key_offs = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=key_offs[1:])
 
     # multi-host: each process collapsed its own byte-range shard; shift
     # first-appearance indices by the global record offset (shards are
@@ -74,40 +143,55 @@ def tool_main(ctx: CliContext, argv) -> int:
     info = multihost.shard_info()
     if info.active and info.collective:
         offset = multihost.global_record_offset(rec_base)
-        local = [(s, c, f + offset) for s, (c, f) in table.items()]
-        table = {}
+        local = [
+            (key_buf[key_offs[i]:key_offs[i + 1]].tobytes(),
+             int(uniq_counts[i]), int(uniq_first[i]) + offset)
+            for i in range(len(uniq_counts))
+        ]
+        merged: dict = {}
         for part in multihost.allgather_object(local):
             for s, c, f in part:
-                ent = table.get(s)
+                ent = merged.get(s)
                 if ent is None:
-                    table[s] = [c, f]
+                    merged[s] = [c, f]
                 else:
                     ent[0] += c
                     ent[1] = min(ent[1], f)
         n_in_seq, n_in_reads = multihost.allsum(n_in_seq, n_in_reads)
+        seqs = list(merged.keys())
+        uniq_counts = np.array([merged[s][0] for s in seqs], np.int64)
+        uniq_first = np.array([merged[s][1] for s in seqs], np.int64)
+        key_buf = (
+            np.frombuffer(b"".join(seqs), np.uint8)
+            if seqs else np.zeros(0, np.uint8)
+        )
+        key_offs = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=key_offs[1:])
 
-    seqs = list(table.keys())
-    uniq_counts = np.array([table[s][0] for s in seqs], np.int64)
-    uniq_first = np.array([table[s][1] for s in seqs], np.int64)
+    uniq_counts = np.asarray(uniq_counts, np.int64)
+    uniq_first = np.asarray(uniq_first, np.int64)
+    n_uniq = len(uniq_counts)
     order = collapse.final_order(uniq_counts, uniq_first)
-
-    width = max((len(s) for s in seqs), default=0)
-    out_bases = np.zeros((len(seqs), width), np.uint8)
-    out_lens = np.zeros(len(seqs), np.int32)
-    for r, oi in enumerate(order):
-        s = seqs[oi]
-        out_bases[r, : len(s)] = np.frombuffer(s, np.uint8)
-        out_lens[r] = len(s)
     uniq_counts = uniq_counts[order]
+
+    # vectorized output assembly: gather ordered keys into a padded
+    # matrix, synthesize the rank-count id column without Python loops
+    key_lens = np.diff(key_offs)
+    starts = np.ascontiguousarray(key_offs[:-1][order])
+    lens = np.ascontiguousarray(key_lens[order])
+    width = int(lens.max()) if n_uniq else 0
+    if native.LIB is not None and n_uniq:
+        out_bases = native.gather_rows(key_buf, starts, lens, width)
+    else:
+        out_bases = codec._gather_padded(key_buf, starts, lens, width)
+    name_buf, name_offs = collapse.rank_count_column(uniq_counts)
 
     out = ReadBatch(
         bases=out_bases,
-        quals=np.zeros((len(seqs), width), np.int8),
-        lengths=out_lens,
+        quals=np.zeros((n_uniq, width), np.int8),
+        lengths=lens.astype(np.int32),
         counts=uniq_counts.astype(np.int32),
-        names=StringColumn.from_list(
-            [b"%d-%d" % (r + 1, c) for r, c in enumerate(uniq_counts)]
-        ),
+        names=StringColumn(name_buf, name_offs),
         names2=None,
         is_fastq=False,
     )
@@ -123,7 +207,7 @@ def tool_main(ctx: CliContext, argv) -> int:
         )
         rep.write(
             "Output: %d sequences (representing %d reads)\n"
-            % (len(seqs), int(uniq_counts.sum()))
+            % (n_uniq, int(uniq_counts.sum()))
         )
     return 0
 

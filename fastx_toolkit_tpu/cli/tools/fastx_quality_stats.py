@@ -82,11 +82,48 @@ def tool_main(ctx: CliContext, argv) -> int:
     args = common.parse_cmdline(ctx, argv, "N", cb, USAGE)
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
     acc = stats_ops.StatsAccumulator.empty(0)
-    for batch in reader:
-        (bases, quals, lengths, counts), nb = to_device(batch)
-        parts = stats_ops.accumulate_dispatch(
-            bases, quals, lengths, counts, is_fastq=batch.is_fastq
-        )
+    path = stats_ops.stats_path()
+    allowed = codec.allowed_table_u8() if path == "host" else None
+    for chunk, line_base in reader.iter_chunks():
+        # link-aware dispatch (see stats_ops.stats_path): the host C++
+        # histogram kernel avoids shipping raw quality bytes over a thin
+        # device link; the device path wins on a PCIe-local chip.
+        parts = None
+        if path == "host" and reader.is_fastq:
+            # fused raw-line fast path: frame + validate + accumulate with
+            # no padded-matrix build; any anomaly (numeric quals, framing
+            # or byte errors) re-parses for the reference's exact errors.
+            # FASTQ multiplicity is always 1 (fastx.c:479-481), so the
+            # full stats table derives from this histogram exactly.
+            fr = codec.frame_fastq_fast(chunk)
+            if fr is not None:
+                from ...core import native
+
+                buf, ss, sl, qs = fr
+                if native.validate_records(
+                    buf, ss, sl, qs, allowed, args.q_offset
+                ) == -1:
+                    width = int(sl.max()) if len(sl) else 0
+                    pernuc = native.stats_lines_q(
+                        buf, ss, qs, sl, width, args.q_offset
+                    )
+                    parts = stats_ops.derive_from_hist(pernuc)
+        if parts is None:
+            batch = reader.parse_chunk(chunk, line_base)
+            use_host = path == "host" and (
+                not batch.is_fastq
+                or bool((np.asarray(batch.counts) == 1).all())
+            )
+            if use_host:
+                parts = stats_ops.host_accumulate(
+                    batch.bases, batch.quals, batch.lengths, batch.counts,
+                    is_fastq=batch.is_fastq,
+                )
+            else:
+                (bases, quals, lengths, counts), nb = to_device(batch)
+                parts = stats_ops.accumulate_dispatch(
+                    bases, quals, lengths, counts, is_fastq=batch.is_fastq
+                )
         acc.merge_partial(*[np.asarray(p) for p in parts])
 
     # multi-host: every process accumulated its own input shard; the

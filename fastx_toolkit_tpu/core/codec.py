@@ -364,6 +364,48 @@ def parse(
     )
 
 
+def frame_fastq_fast(data: bytes):
+    """Vectorized 4-line FASTQ framing for the fused host fast paths
+    (stats histogram / collapser dedup straight from raw line spans).
+
+    Returns ``(buf, seq_starts, seq_lens, qual_starts)`` int64 arrays when
+    the chunk is clean: complete records, '@' header prefixes, and ASCII
+    quality lines (length == sequence length, fastx.c:382-390).  Returns
+    ``None`` whenever anything needs the full parser — numeric qualities,
+    framing errors, empty chunks — and the caller re-parses with
+    :func:`parse` for the reference's exact error text.  Byte validation
+    (sequence alphabet / quality value range) is NOT done here; callers
+    run ``native.validate_records`` and fall back the same way.
+    """
+    if not data:
+        return None
+    starts, ends, buf = _split_lines(data)
+    nlines = len(starts)
+    if nlines == 0 or nlines % 4:
+        return None
+    lens = ends - starts
+    hdr_starts = starts[0::4]
+    if not ((lens[0::4] > 0) & (buf[np.minimum(hdr_starts, len(buf) - 1)]
+                                == ord("@"))).all():
+        return None
+    seq_lens = lens[1::4]
+    if not (lens[3::4] == seq_lens).all():
+        return None
+    return (
+        buf,
+        np.ascontiguousarray(starts[1::4]),
+        np.ascontiguousarray(seq_lens),
+        np.ascontiguousarray(starts[3::4]),
+    )
+
+
+def allowed_table_u8(allow_n: bool = True, allow_u: bool = False,
+                     allow_lower: bool = False) -> np.ndarray:
+    """The reference's allowed_nucleotides table as uint8 (for the native
+    raw-line validator)."""
+    return _allowed_byte_table(allow_n, allow_u, allow_lower).astype(np.uint8)
+
+
 def _empty_batch(is_fastq: bool) -> ReadBatch:
     empty = StringColumn(np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64))
     return ReadBatch(

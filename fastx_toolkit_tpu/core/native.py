@@ -80,6 +80,32 @@ def _load():
                              ctypes.c_int]
     lib.fx_pack4.argtypes = [_u8p, _i8p, ctypes.c_int64, ctypes.c_int64,
                              _i8p, ctypes.c_int, _u8p, _u8p, ctypes.c_int]
+    lib.fx_stats_hist_q.argtypes = [_u8p, _i8p, _i32p, ctypes.c_int64,
+                                    ctypes.c_int64, _i64p, ctypes.c_int]
+    lib.fx_stats_counts.argtypes = [_u8p, _i32p, _i32p, ctypes.c_int64,
+                                    ctypes.c_int64, _i64p, ctypes.c_int]
+    lib.fx_dedup_new.argtypes = [ctypes.c_int]
+    lib.fx_dedup_new.restype = ctypes.c_void_p
+    lib.fx_dedup_free.argtypes = [ctypes.c_void_p]
+    lib.fx_dedup_insert.argtypes = [ctypes.c_void_p, _u8p, ctypes.c_int64,
+                                    ctypes.c_int64, _i32p, _i32p,
+                                    ctypes.c_int64, ctypes.c_int]
+    lib.fx_dedup_count.argtypes = [ctypes.c_void_p]
+    lib.fx_dedup_count.restype = ctypes.c_int64
+    lib.fx_dedup_key_bytes.argtypes = [ctypes.c_void_p]
+    lib.fx_dedup_key_bytes.restype = ctypes.c_int64
+    lib.fx_dedup_extract.argtypes = [ctypes.c_void_p, _i64p, _i32p, _i64p,
+                                     _i64p, _u8p]
+    lib.fx_validate_records.argtypes = [_u8p, _i64p, _i64p, _i64p,
+                                        ctypes.c_int64, _u8p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int]
+    lib.fx_validate_records.restype = ctypes.c_int64
+    lib.fx_stats_lines_q.argtypes = [_u8p, _i64p, _i64p, _i64p,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int, _i64p, ctypes.c_int]
+    lib.fx_dedup_insert_lines.argtypes = [ctypes.c_void_p, _u8p, _i64p,
+                                          _i64p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int]
     return lib
 
 
@@ -233,6 +259,118 @@ def pack4(bases, quals, thresholds):
     LIB.fx_pack4(ptr(bases, _u8p), ptr(quals, _i8p), n, L, ptr(thr, _i8p),
                  len(thr), ptr(b4, _u8p), ptr(planes, _u8p), _NT)
     return b4, planes
+
+
+def stats_hist_q(bases, quals, lens):
+    """FASTQ per-(cycle, nucleotide, quality) histogram, one int64
+    increment per base: -> [W, 6, 109] int64 with only the nucleotide
+    slots (1..5, plus 0 for unknown bytes) populated — the ALL slot and
+    count/sum/min/max derive from it (ops/stats.py derive_from_hist;
+    FASTQ multiplicity is always 1, fastx.c:479-481)."""
+    n, width = bases.shape
+    out = np.zeros((width, 6, 109), np.int64)
+    LIB.fx_stats_hist_q(
+        ptr(bases, _u8p), ptr(quals, _i8p), ptr(lens, _i32p), n, width,
+        ptr(out, _i64p), _NT,
+    )
+    return out
+
+
+def stats_counts(bases, lens, counts):
+    """FASTA per-(cycle, nucleotide) counts weighted by collapsed
+    multiplicity: -> [W, 6] int64, nucleotide slots only (ALL derived)."""
+    n, width = bases.shape
+    out = np.zeros((width, 6), np.int64)
+    LIB.fx_stats_counts(
+        ptr(bases, _u8p), ptr(lens, _i32p), ptr(counts, _i32p), n, width,
+        ptr(out, _i64p), _NT,
+    )
+    return out
+
+
+def validate_records(buf, seq_starts, lens, qual_starts, allowed_u8,
+                     q_offset: int) -> int:
+    """First invalid record index (empty/bad sequence byte, or — when
+    qual_starts is given — ASCII quality byte out of the reference's
+    [-15, 93] value range), or -1.  Raw-line spans, no matrix build."""
+    n = len(seq_starts)
+    qptr = ptr(qual_starts, _i64p) if qual_starts is not None else None
+    return int(LIB.fx_validate_records(
+        ptr(buf, _u8p), ptr(seq_starts, _i64p), ptr(lens, _i64p), qptr, n,
+        ptr(allowed_u8, _u8p), q_offset - 15, q_offset + 93, _NT,
+    ))
+
+
+def stats_lines_q(buf, seq_starts, qual_starts, lens, width: int,
+                  q_offset: int):
+    """FASTQ per-(cycle, nucleotide, quality) histogram straight from raw
+    line spans (validated records): -> [width, 6, 109] int64."""
+    n = len(seq_starts)
+    out = np.zeros((width, 6, 109), np.int64)
+    LIB.fx_stats_lines_q(
+        ptr(buf, _u8p), ptr(seq_starts, _i64p), ptr(qual_starts, _i64p),
+        ptr(lens, _i64p), n, width, q_offset, ptr(out, _i64p), _NT,
+    )
+    return out
+
+
+class DedupTable:
+    """Persistent host-native sequence->count hash table (the collapser's
+    link-aware engine; see native/fastx_codec.cpp fx_dedup_*).  Keys are
+    raw sequence bytes; values are (count sum, min first-appearance)."""
+
+    def __init__(self, nshards_log2: int = 2):
+        if LIB is None:
+            raise RuntimeError("native codec library unavailable")
+        self._h = LIB.fx_dedup_new(nshards_log2)
+
+    def insert(self, bases: np.ndarray, lens: np.ndarray,
+               counts, first_base: int) -> None:
+        n, width = bases.shape
+        bases = np.ascontiguousarray(bases, np.uint8)
+        lens = np.ascontiguousarray(lens, np.int32)
+        cptr = None
+        if counts is not None:
+            counts = np.ascontiguousarray(counts, np.int32)
+            cptr = ptr(counts, _i32p)
+        LIB.fx_dedup_insert(self._h, ptr(bases, _u8p), n, width,
+                            ptr(lens, _i32p), cptr, first_base, _NT)
+
+    def insert_lines(self, buf: np.ndarray, seq_starts: np.ndarray,
+                     lens: np.ndarray, first_base: int) -> None:
+        """Insert validated records straight from raw line spans
+        (multiplicity 1 — the FASTQ case, fastx.c:479-481)."""
+        LIB.fx_dedup_insert_lines(
+            self._h, ptr(buf, _u8p), ptr(seq_starts, _i64p),
+            ptr(lens, _i64p), len(seq_starts), first_base, _NT,
+        )
+
+    def extract(self):
+        """-> (key_offs int64 [U+1], key_bytes uint8, counts int64 [U],
+        firsts int64 [U]); arbitrary order — callers sort."""
+        u = int(LIB.fx_dedup_count(self._h))
+        nbytes = int(LIB.fx_dedup_key_bytes(self._h))
+        key_offs = np.zeros(u + 1, np.int64)
+        key_lens = np.zeros(u, np.int32)
+        counts = np.zeros(u, np.int64)
+        firsts = np.zeros(u, np.int64)
+        keys = np.zeros(max(nbytes, 1), np.uint8)[:nbytes]
+        if u:
+            LIB.fx_dedup_extract(self._h, ptr(key_offs, _i64p),
+                                 ptr(key_lens, _i32p), ptr(counts, _i64p),
+                                 ptr(firsts, _i64p), ptr(keys, _u8p))
+        return key_offs, keys, counts, firsts
+
+    def close(self):
+        if self._h is not None:
+            LIB.fx_dedup_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def gather_flat(buf, starts, lens):

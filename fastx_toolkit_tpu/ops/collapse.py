@@ -90,3 +90,53 @@ def collapse_batch(bases: np.ndarray, counts: np.ndarray):
 def final_order(uniq_counts: np.ndarray, uniq_first: np.ndarray) -> np.ndarray:
     """Output order: count descending, first-appearance ascending."""
     return np.lexsort((uniq_first, -uniq_counts.astype(np.int64)))
+
+
+def _dec_digits(x: np.ndarray):
+    """Vectorized base-10: -> (digits uint8 [U, D] right-aligned with
+    leading zeros, ndig int64 [U])."""
+    x = np.asarray(x, np.int64)
+    U = len(x)
+    maxv = int(x.max()) if U else 0
+    D = max(1, len(str(max(maxv, 0))))
+    digs = np.empty((U, D), np.uint8)
+    v = x.copy()
+    for d in range(D - 1, -1, -1):
+        digs[:, d] = (v % 10) + 48
+        v //= 10
+    if D > 1:
+        p10 = 10 ** np.arange(1, D, dtype=np.int64)
+        ndig = 1 + (x[:, None] >= p10[None, :]).sum(axis=1)
+    else:
+        ndig = np.ones(U, np.int64)
+    return digs, ndig
+
+
+def rank_count_column(counts: np.ndarray):
+    """The collapser's ``rank-count`` id column, vectorized (the Python
+    b"%d-%d" loop is ~2 s per million records; this is ~20 numpy passes).
+
+    counts are in output order; ranks are 1-based positions.  Returns
+    (flat uint8 buffer, int64 offsets [U+1]) — a StringColumn's innards.
+    """
+    counts = np.asarray(counts, np.int64)
+    U = len(counts)
+    ranks = np.arange(1, U + 1, dtype=np.int64)
+    dr, nr = _dec_digits(ranks)
+    dc, nc = _dec_digits(counts)
+    lens = nr + 1 + nc
+    offs = np.zeros(U + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.empty(int(offs[-1]), np.uint8)
+    rows = np.arange(U, dtype=np.int64)
+    Dr = dr.shape[1]
+    for k in range(Dr):  # k-th significant digit of the rank
+        m = k < nr
+        flat[offs[:-1][m] + k] = dr[rows[m], Dr - nr[m] + k]
+    flat[offs[:-1] + nr] = ord("-")
+    Dc = dc.shape[1]
+    base = offs[:-1] + nr + 1
+    for k in range(Dc):
+        m = k < nc
+        flat[base[m] + k] = dc[rows[m], Dc - nc[m] + k]
+    return flat, offs

@@ -313,6 +313,75 @@ def derive_from_hist(pernuc_hist: np.ndarray):
     return count, hist, qsum, qmin, qmax
 
 
+def host_accumulate(bases, quals, lengths, counts, *, is_fastq: bool):
+    """Host-native (C++) accumulation — identical results to accumulate().
+
+    One int64 increment per base into the per-(cycle, nucleotide, quality)
+    histogram (native/fastx_codec.cpp fx_stats_hist_q); everything else
+    (ALL slot, count, sum, min, max) derives from it because FASTQ
+    multiplicity is always 1 (fastx.c:479-481).  FASTA accumulates the
+    weighted per-nucleotide counts only (the reference skips the quality
+    block for FASTA, fastx_quality_stats.c:194)."""
+    from ..core import native
+
+    bases = np.ascontiguousarray(bases, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    if is_fastq:
+        pernuc = native.stats_hist_q(
+            bases, np.ascontiguousarray(quals, np.int8), lengths
+        )
+        return derive_from_hist(pernuc)
+    pn = native.stats_counts(
+        bases, lengths, np.ascontiguousarray(counts, np.int32)
+    )
+    L = pn.shape[0]
+    count = pn.copy()
+    count[:, 0] = pn.sum(axis=1) + pn[:, 0]
+    return (
+        count,
+        np.zeros((L, NSLOTS, NBINS), np.int64),
+        np.zeros((L, NSLOTS), np.int64),
+        np.full((L, NSLOTS), 100, np.int32),
+        np.full((L, NSLOTS), -100, np.int32),
+    )
+
+
+def stats_path() -> str:
+    """'host' or 'device' accumulation for the stats CLI.
+
+    FASTX_STATS_PATH=host|device overrides.  Auto: the device path wins
+    when the chip is PCIe-local (platform 'tpu': the ~125 MB/1M-read
+    quality upload is ~10 ms there and the Pallas histogram runs millions
+    of reads/sec); the host C++ kernel wins when the device link is a
+    tunnel (platform 'axon', ~20 MB/s measured) or the backend is CPU.
+    Both paths produce bit-identical accumulators (tests/test_stats_kernel.py).
+    """
+    import os
+
+    from ..core import native
+
+    p = os.environ.get("FASTX_STATS_PATH", "auto")
+    if p == "device":
+        return "device"
+    if p == "host":
+        if native.LIB is None:
+            raise RuntimeError(
+                "FASTX_STATS_PATH=host requires the native codec library"
+            )
+        return "host"
+    if native.LIB is None:
+        return "device"
+    # the axon tunnel registers as platform 'tpu', so detect it by its
+    # env markers (a PCIe-local deployment has neither)
+    tunnel = bool(
+        os.environ.get("PALLAS_AXON_POOL_IPS")
+        or "axon" in os.environ.get("JAX_PLATFORMS", "")
+    )
+    if tunnel:
+        return "host"
+    return "device" if jax.devices()[0].platform == "tpu" else "host"
+
+
 def accumulate_dispatch(bases, quals, lengths, counts, *, is_fastq: bool):
     """Pick the Pallas one-hot-matmul histogram on TPU backends for FASTQ
     (the XLA scatter-add serializes); fall back to accumulate() elsewhere.

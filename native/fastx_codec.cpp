@@ -370,3 +370,454 @@ void fx_pack4(const uint8_t* bases, const int8_t* quals, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-native quality-stats accumulation (link-aware path for
+// fastx_quality_stats).  The reference walks every base once, adding to a
+// per-cycle counting-sort histogram (/root/reference/src/
+// fastx_quality_stats/fastx_quality_stats.c:166-216).  For FASTQ the
+// collapsed multiplicity is always 1 (fastx.c:479-481), so count/sum/min/
+// max are exact functions of the per-(cycle, nucleotide, quality)
+// histogram -- one int64 increment per base here, everything else derived
+// on the Python side (ops/stats.py derive_from_hist).  Threaded with
+// per-thread private histograms merged at the end.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// byte -> stats nucleotide slot: ALL=0 (unknown), A=1 C=2 G=3 T=4 N=5
+// (mirrors fastx_quality_stats.c:139-153 nuc_to_index and
+// core/records.py BaseCode.STATS_INDEX)
+struct StatsIdx {
+  uint8_t idx[256];
+  StatsIdx() {
+    memset(idx, 0, sizeof(idx));
+    const char* pairs[5] = {"Aa", "Cc", "Gg", "Tt", "Nn"};
+    for (int i = 0; i < 5; i++)
+      for (int k = 0; k < 2; k++) idx[(uint8_t)pairs[i][k]] = (uint8_t)(i + 1);
+  }
+};
+const StatsIdx kStatsIdx;
+
+}  // namespace
+
+extern "C" {
+
+// FASTQ: pernuc[j, nuc, bin] += 1 per base (nuc slot only; the ALL slot
+// is derived as sum+slot0 by the caller).  pernuc is caller-zeroed
+// int64 [width, 6, 109]; bin = quality + 15 clamped to 0..108.
+void fx_stats_hist_q(const uint8_t* bases, const int8_t* quals,
+                     const int32_t* lens, int64_t n, int64_t width,
+                     int64_t* pernuc, int nthreads) {
+  const int64_t stride = 6 * 109;
+  const int64_t total = width * stride;
+  int nt = pick_threads(n, nthreads);
+  if (nt <= 1) {
+    for (int64_t i = 0; i < n; i++) {
+      const uint8_t* b = bases + i * width;
+      const int8_t* q = quals + i * width;
+      int64_t len = lens[i];
+      for (int64_t j = 0; j < len; j++) {
+        int nuc = kStatsIdx.idx[b[j]];
+        int bin = (int)q[j] + 15;
+        if (bin < 0) bin = 0; else if (bin > 108) bin = 108;
+        pernuc[j * stride + nuc * 109 + bin]++;
+      }
+    }
+    return;
+  }
+  std::vector<std::vector<int64_t>> priv((size_t)nt);
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([&, t, s, e] {
+      priv[(size_t)t].assign((size_t)total, 0);
+      int64_t* acc = priv[(size_t)t].data();
+      for (int64_t i = s; i < e; i++) {
+        const uint8_t* b = bases + i * width;
+        const int8_t* q = quals + i * width;
+        int64_t len = lens[i];
+        for (int64_t j = 0; j < len; j++) {
+          int nuc = kStatsIdx.idx[b[j]];
+          int bin = (int)q[j] + 15;
+          if (bin < 0) bin = 0; else if (bin > 108) bin = 108;
+          acc[j * stride + nuc * 109 + bin]++;
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (auto& p : priv) {
+    if (p.empty()) continue;
+    const int64_t* src = p.data();
+    for (int64_t k = 0; k < total; k++) pernuc[k] += src[k];
+  }
+}
+
+// FASTA: pernuc_count[j, nuc] += counts[i] per base (nuc slot only; the
+// reference weighs by the collapsed reads_count).  pernuc_count is
+// caller-zeroed int64 [width, 6].
+void fx_stats_counts(const uint8_t* bases, const int32_t* lens,
+                     const int32_t* counts, int64_t n, int64_t width,
+                     int64_t* pernuc_count, int nthreads) {
+  const int64_t total = width * 6;
+  int nt = pick_threads(n, nthreads);
+  std::vector<std::vector<int64_t>> priv((size_t)nt);
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    ts.emplace_back([&, t, s, e] {
+      int64_t* acc;
+      if (nt > 1) {
+        priv[(size_t)t].assign((size_t)total, 0);
+        acc = priv[(size_t)t].data();
+      } else {
+        acc = pernuc_count;
+      }
+      for (int64_t i = s; i < e; i++) {
+        const uint8_t* b = bases + i * width;
+        int64_t len = lens[i];
+        int64_t w = counts[i];
+        for (int64_t j = 0; j < len; j++)
+          acc[j * 6 + kStatsIdx.idx[b[j]]] += w;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  if (nt > 1)
+    for (auto& p : priv) {
+      if (p.empty()) continue;
+      const int64_t* src = p.data();
+      for (int64_t k = 0; k < total; k++) pernuc_count[k] += src[k];
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-native sequence dedup (link-aware path for fastx_collapser).  The
+// reference is a hash map sequence -> reads_count
+// (/root/reference/src/fastx_collapser/fastx_collapser.cpp:112-114); this
+// is an open-addressing table with the key bytes in a growing arena,
+// sharded by hash so inserts parallelize without locks.  The table
+// persists across streamed chunks (chunk-order inserts keep the
+// first-appearance index minimal by construction).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint64_t hash_mix(uint64_t a, uint64_t b) {
+  a ^= b;
+  a *= 0x9E3779B97F4A7C15ull;
+  a ^= a >> 29;
+  a *= 0xBF58476D1CE4E5B9ull;
+  return a;
+}
+
+inline uint64_t hash_bytes(const uint8_t* p, size_t len) {
+  uint64_t h = 0x2545F4914F6CDD1Dull ^ (uint64_t)len;
+  while (len >= 8) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    h = hash_mix(h, v);
+    p += 8;
+    len -= 8;
+  }
+  if (len) {
+    uint64_t v = 0;
+    memcpy(&v, p, len);
+    h = hash_mix(h, v);
+  }
+  h ^= h >> 32;
+  return h;
+}
+
+struct DedupEntry {
+  uint64_t hash;
+  int64_t key_off;
+  int32_t key_len;
+  int64_t count;
+  int64_t first;
+};
+
+struct DedupShard {
+  std::vector<int64_t> slots;  // entry index + 1; 0 = empty
+  std::vector<DedupEntry> entries;
+  std::vector<uint8_t> arena;
+  uint64_t mask = 0;
+
+  DedupShard() {
+    slots.assign(1 << 12, 0);
+    mask = slots.size() - 1;
+  }
+
+  void grow() {
+    std::vector<int64_t> ns(slots.size() * 2, 0);
+    uint64_t nm = ns.size() - 1;
+    for (size_t i = 0; i < entries.size(); i++) {
+      uint64_t pos = entries[i].hash & nm;
+      while (ns[pos]) pos = (pos + 1) & nm;
+      ns[pos] = (int64_t)i + 1;
+    }
+    slots.swap(ns);
+    mask = nm;
+  }
+
+  void insert(const uint8_t* key, int32_t len, int64_t cnt, int64_t first,
+              uint64_t h) {
+    uint64_t pos = h & mask;
+    for (;;) {
+      int64_t s = slots[pos];
+      if (s == 0) {
+        if (entries.size() * 10 >= slots.size() * 7) {
+          grow();
+          insert(key, len, cnt, first, h);
+          return;
+        }
+        DedupEntry e;
+        e.hash = h;
+        e.key_off = (int64_t)arena.size();
+        e.key_len = len;
+        e.count = cnt;
+        e.first = first;
+        arena.insert(arena.end(), key, key + len);
+        entries.push_back(e);
+        slots[pos] = (int64_t)entries.size();
+        return;
+      }
+      DedupEntry& e = entries[(size_t)s - 1];
+      if (e.hash == h && e.key_len == len &&
+          memcmp(arena.data() + e.key_off, key, (size_t)len) == 0) {
+        e.count += cnt;
+        if (first < e.first) e.first = first;
+        return;
+      }
+      pos = (pos + 1) & mask;
+    }
+  }
+};
+
+struct FxDedup {
+  std::vector<DedupShard> shards;
+  int shard_bits;
+  explicit FxDedup(int nshards_log2) : shard_bits(nshards_log2) {
+    shards.resize((size_t)1 << nshards_log2);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fx_dedup_new(int nshards_log2) {
+  if (nshards_log2 < 0) nshards_log2 = 0;
+  if (nshards_log2 > 6) nshards_log2 = 6;
+  return new FxDedup(nshards_log2);
+}
+
+void fx_dedup_free(void* p) { delete (FxDedup*)p; }
+
+// Insert a chunk: row i's key is bases[i, :lens[i]] (raw bytes), its
+// multiplicity counts[i] (NULL => 1), its first-appearance index
+// first_base + i.  Hashes are precomputed in parallel ranges; then one
+// thread per shard group performs the inserts lock-free.
+void fx_dedup_insert(void* p, const uint8_t* bases, int64_t n, int64_t width,
+                     const int32_t* lens, const int32_t* counts,
+                     int64_t first_base, int nthreads) {
+  FxDedup* d = (FxDedup*)p;
+  int nshards = (int)d->shards.size();
+  std::vector<uint64_t> hashes((size_t)n);
+  int nt = pick_threads(n, nthreads);
+  parallel_ranges(n, nt, [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++)
+      hashes[(size_t)i] = hash_bytes(bases + i * width, (size_t)lens[i]);
+  });
+  int insert_threads = nt < nshards ? nt : nshards;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < insert_threads; t++) {
+    ts.emplace_back([&, t] {
+      for (int64_t i = 0; i < n; i++) {
+        uint64_t h = hashes[(size_t)i];
+        int shard = (int)(h >> (64 - 6)) & (nshards - 1);
+        if (shard % insert_threads != t) continue;
+        d->shards[(size_t)shard].insert(bases + i * width, lens[i],
+                                        counts ? (int64_t)counts[i] : 1,
+                                        first_base + i, h);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+}
+
+int64_t fx_dedup_count(void* p) {
+  FxDedup* d = (FxDedup*)p;
+  int64_t total = 0;
+  for (auto& s : d->shards) total += (int64_t)s.entries.size();
+  return total;
+}
+
+int64_t fx_dedup_key_bytes(void* p) {
+  FxDedup* d = (FxDedup*)p;
+  int64_t total = 0;
+  for (auto& s : d->shards) total += (int64_t)s.arena.size();
+  return total;
+}
+
+// Extract all entries (shard-major, insert order within a shard; the
+// caller orders by count/first).  key_offs has room for count+1 entries.
+void fx_dedup_extract(void* p, int64_t* key_offs, int32_t* key_lens,
+                      int64_t* counts, int64_t* firsts, uint8_t* keys_out) {
+  FxDedup* d = (FxDedup*)p;
+  int64_t k = 0;
+  int64_t off = 0;
+  key_offs[0] = 0;
+  for (auto& s : d->shards) {
+    for (auto& e : s.entries) {
+      memcpy(keys_out + off, s.arena.data() + e.key_off, (size_t)e.key_len);
+      off += e.key_len;
+      key_offs[k + 1] = off;
+      key_lens[k] = e.key_len;
+      counts[k] = e.count;
+      firsts[k] = e.first;
+      k++;
+    }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused raw-line fast paths: operate straight on the chunk byte buffer
+// via (start, len) line spans, skipping the padded-matrix build entirely.
+// Used by the stats/collapser host engines; any validation failure makes
+// the caller re-parse the chunk with the full codec for the reference's
+// exact error text (fastx.c:314-404 semantics).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Validate framed FASTQ/FASTA records from raw line spans: sequence
+// non-empty + every byte allowed[]; with qual_starts != NULL also every
+// quality byte in [qmin_byte, qmax_byte] (ASCII quals of the same
+// length, callers verified the framing).  Returns the first bad record
+// index, or -1.
+int64_t fx_validate_records(const uint8_t* buf, const int64_t* seq_starts,
+                            const int64_t* lens, const int64_t* qual_starts,
+                            int64_t n, const uint8_t* allowed, int qmin_byte,
+                            int qmax_byte, int nthreads) {
+  int nt = pick_threads(n, nthreads);
+  std::vector<int64_t> bads((size_t)nt, -1);
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    auto body = [&, t, s, e] {
+      for (int64_t i = s; i < e; i++) {
+        int64_t len = lens[i];
+        if (len == 0) { bads[(size_t)t] = i; return; }
+        const uint8_t* p = buf + seq_starts[i];
+        for (int64_t j = 0; j < len; j++)
+          if (!allowed[p[j]]) { bads[(size_t)t] = i; return; }
+        if (qual_starts) {
+          const uint8_t* q = buf + qual_starts[i];
+          for (int64_t j = 0; j < len; j++)
+            if ((int)q[j] < qmin_byte || (int)q[j] > qmax_byte) {
+              bads[(size_t)t] = i;
+              return;
+            }
+        }
+      }
+    };
+    if (nt > 1) ts.emplace_back(body); else body();
+  }
+  for (auto& th : ts) th.join();
+  int64_t first = -1;
+  for (int t = 0; t < nt; t++)
+    if (bads[(size_t)t] >= 0 && (first < 0 || bads[(size_t)t] < first))
+      first = bads[(size_t)t];
+  return first;
+}
+
+// FASTQ stats histogram from raw line spans (validated records):
+// pernuc[j, nuc, qbyte - (q_offset - 15)] += 1 per base.
+void fx_stats_lines_q(const uint8_t* buf, const int64_t* seq_starts,
+                      const int64_t* qual_starts, const int64_t* lens,
+                      int64_t n, int64_t width, int q_offset,
+                      int64_t* pernuc, int nthreads) {
+  const int64_t stride = 6 * 109;
+  const int64_t total = width * stride;
+  const int bias = q_offset - 15;
+  int nt = pick_threads(n, nthreads);
+  std::vector<std::vector<int64_t>> priv((size_t)nt);
+  std::vector<std::thread> ts;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t s = t * chunk, e = s + chunk < n ? s + chunk : n;
+    if (s >= e) break;
+    auto body = [&, t, s, e] {
+      int64_t* acc;
+      if (nt > 1) {
+        priv[(size_t)t].assign((size_t)total, 0);
+        acc = priv[(size_t)t].data();
+      } else {
+        acc = pernuc;
+      }
+      for (int64_t i = s; i < e; i++) {
+        const uint8_t* b = buf + seq_starts[i];
+        const uint8_t* q = buf + qual_starts[i];
+        int64_t len = lens[i];
+        for (int64_t j = 0; j < len; j++) {
+          int nuc = kStatsIdx.idx[b[j]];
+          int bin = (int)q[j] - bias;
+          if (bin < 0) bin = 0; else if (bin > 108) bin = 108;
+          acc[j * stride + nuc * 109 + bin]++;
+        }
+      }
+    };
+    if (nt > 1) ts.emplace_back(body); else body();
+  }
+  for (auto& th : ts) th.join();
+  if (nt > 1)
+    for (auto& p : priv) {
+      if (p.empty()) continue;
+      const int64_t* src = p.data();
+      for (int64_t k = 0; k < total; k++) pernuc[k] += src[k];
+    }
+}
+
+// Dedup insert from raw line spans (validated records, multiplicity 1).
+void fx_dedup_insert_lines(void* p, const uint8_t* buf,
+                           const int64_t* seq_starts, const int64_t* lens,
+                           int64_t n, int64_t first_base, int nthreads) {
+  FxDedup* d = (FxDedup*)p;
+  int nshards = (int)d->shards.size();
+  std::vector<uint64_t> hashes((size_t)n);
+  int nt = pick_threads(n, nthreads);
+  parallel_ranges(n, nt, [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++)
+      hashes[(size_t)i] = hash_bytes(buf + seq_starts[i], (size_t)lens[i]);
+  });
+  int insert_threads = nt < nshards ? nt : nshards;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < insert_threads; t++) {
+    auto body = [&, t] {
+      for (int64_t i = 0; i < n; i++) {
+        uint64_t h = hashes[(size_t)i];
+        int shard = (int)(h >> (64 - 6)) & (nshards - 1);
+        if (shard % insert_threads != t) continue;
+        d->shards[(size_t)shard].insert(buf + seq_starts[i],
+                                        (int32_t)lens[i], 1, first_base + i,
+                                        h);
+      }
+    };
+    if (insert_threads > 1) ts.emplace_back(body); else body();
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

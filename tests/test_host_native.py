@@ -1,0 +1,221 @@
+"""Equivalence tests for the host-native (C++) stats/collapse engines.
+
+The link-aware dispatch (ops/stats.py stats_path, cli/tools/
+fastx_collapser.py collapse_path) means either engine may serve a given
+run; these tests pin that both produce identical observable output, and
+that the fused raw-line fast paths fall back to the full parser for the
+reference's exact error text.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastx_toolkit_tpu.core import codec, native
+from fastx_toolkit_tpu.ops import stats as stats_ops
+
+pytestmark = pytest.mark.skipif(
+    native.LIB is None, reason="native codec library unavailable"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rand_batch(rng, B, L, alphabet=b"ACGTN"):
+    bases = rng.choice(np.frombuffer(alphabet, np.uint8), size=(B, L))
+    quals = rng.integers(-15, 94, size=(B, L)).astype(np.int8)
+    lengths = rng.integers(1, L + 1, B).astype(np.int32)
+    col = np.arange(L)
+    m = col[None] < lengths[:, None]
+    return (
+        np.where(m, bases, 0).astype(np.uint8),
+        np.where(m, quals, 0).astype(np.int8),
+        lengths,
+    )
+
+
+def test_host_accumulate_matches_jit_fastq():
+    rng = np.random.default_rng(1)
+    bases, quals, lengths = _rand_batch(rng, 3000, 61)
+    counts = np.ones(3000, np.int32)
+    ref = stats_ops.accumulate_jit(bases, quals, lengths, counts, is_fastq=True)
+    got = stats_ops.host_accumulate(bases, quals, lengths, counts, is_fastq=True)
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r, np.int64), np.asarray(g, np.int64))
+
+
+def test_host_accumulate_matches_jit_fasta_weighted():
+    rng = np.random.default_rng(2)
+    bases, quals, lengths = _rand_batch(rng, 2000, 40)
+    counts = rng.integers(1, 50, 2000).astype(np.int32)
+    ref = stats_ops.accumulate_jit(bases, quals, lengths, counts, is_fastq=False)
+    got = stats_ops.host_accumulate(bases, quals, lengths, counts, is_fastq=False)
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r, np.int64), np.asarray(g, np.int64))
+
+
+def _fastq_bytes(rng, n, L=30):
+    recs = []
+    for i in range(n):
+        ln = int(rng.integers(1, L))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=ln)
+        q = rng.integers(0, 41, ln) + 33
+        recs.append(
+            b"@r%d\n%s\n+\n%s\n"
+            % (i, seq.tobytes(), q.astype(np.uint8).tobytes())
+        )
+    return b"".join(recs)
+
+
+def test_frame_fastq_fast_and_stats_lines():
+    rng = np.random.default_rng(3)
+    data = _fastq_bytes(rng, 500)
+    fr = codec.frame_fastq_fast(data)
+    assert fr is not None
+    buf, ss, sl, qs = fr
+    assert len(ss) == 500
+    allowed = codec.allowed_table_u8()
+    assert native.validate_records(buf, ss, sl, qs, allowed, 33) == -1
+    width = int(sl.max())
+    pernuc = native.stats_lines_q(buf, ss, qs, sl, width, 33)
+    got = stats_ops.derive_from_hist(pernuc)
+    batch = codec.parse(data, q_offset=33)
+    ref = stats_ops.accumulate_jit(
+        batch.bases, batch.quals, batch.lengths, batch.counts, is_fastq=True
+    )
+    for r, g in zip(ref, got):
+        g64 = np.asarray(g, np.int64)
+        r64 = np.asarray(r, np.int64)
+        assert np.array_equal(r64, g64[: r64.shape[0]])
+
+
+def test_frame_fastq_fast_rejects_anomalies():
+    # numeric quality line (length != seq length) -> full-parser fallback
+    assert codec.frame_fastq_fast(b"@r\nACGT\n+\n33 34 35 36\n") is None
+    # partial record
+    assert codec.frame_fastq_fast(b"@r\nACGT\n+\n") is None
+    # bad header prefix
+    assert codec.frame_fastq_fast(b">r\nACGT\n+\nIIII\n") is None
+    assert codec.frame_fastq_fast(b"") is None
+    # clean chunk with CRLF endings still frames (chomp semantics)
+    fr = codec.frame_fastq_fast(b"@r\r\nACGT\r\n+\r\nIIII\r\n")
+    assert fr is not None
+    _, ss, sl, _ = fr
+    assert sl[0] == 4
+
+
+def test_validate_records_catches_each_class():
+    allowed = codec.allowed_table_u8()
+
+    def check(data):
+        fr = codec.frame_fastq_fast(data)
+        assert fr is not None
+        buf, ss, sl, qs = fr
+        return native.validate_records(buf, ss, sl, qs, allowed, 33)
+
+    assert check(b"@a\nACGT\n+\nIIII\n") == -1
+    assert check(b"@a\nACXT\n+\nIIII\n") == 0  # bad base byte
+    assert check(b"@a\nACGT\n+\nII\x05I\n") == 0  # quality below -15
+    assert check(b"@a\nACGT\n+\nIIII\n@b\nAC\x01T\n+\nIIII\n") == 1
+
+
+@pytest.mark.parametrize("tool,var", [
+    ("fastx_quality_stats", "FASTX_STATS_PATH"),
+    ("fastx_collapser", "FASTX_COLLAPSE_PATH"),
+])
+def test_cli_paths_identical_and_error_parity(tool, var, monkeypatch):
+    import importlib
+
+    import util
+
+    mod = importlib.import_module("fastx_toolkit_tpu.cli.tools." + tool)
+    rng = np.random.default_rng(7)
+    # duplicates so the collapser has real work
+    base = _fastq_bytes(rng, 120)
+    data = base + base[: len(base) // 2 * 2]
+    results = {}
+    for path in ("host", "device"):
+        monkeypatch.setenv(var, path)
+        results[path] = util.run_tool(mod, ["-Q", "33", "-v"], stdin=data)
+    assert results["host"].status == 0
+    assert results["host"].stdout == results["device"].stdout
+    assert results["host"].report == results["device"].report
+    # exact error parity through the fused fast path's fallback
+    bad = data + b"@x\nAC!T\n+\nIIII\n"
+    errs = {}
+    for path in ("host", "device"):
+        monkeypatch.setenv(var, path)
+        errs[path] = util.run_tool(mod, ["-Q", "33"], stdin=bad)
+    assert errs["host"].status != 0
+    assert errs["host"].status == errs["device"].status
+    assert errs["host"].stderr == errs["device"].stderr
+    assert "found invalid nucleotide sequence" in errs["host"].stderr
+
+
+def test_dedup_table_matches_dict():
+    rng = np.random.default_rng(11)
+    B, L = 5000, 24
+    seqs = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    seqs[B // 2:] = seqs[: B - B // 2]
+    lens = rng.integers(1, L + 1, B).astype(np.int32)
+    cnts = rng.integers(1, 5, B).astype(np.int32)
+    tbl = native.DedupTable()
+    tbl.insert(seqs[: B // 2], lens[: B // 2], cnts[: B // 2], 0)
+    tbl.insert(seqs[B // 2:], lens[B // 2:], cnts[B // 2:], B // 2)
+    offs, keys, uc, uf = tbl.extract()
+    got = {
+        keys[offs[i]:offs[i + 1]].tobytes(): (int(uc[i]), int(uf[i]))
+        for i in range(len(uc))
+    }
+    want = {}
+    for i in range(B):
+        k = seqs[i, : lens[i]].tobytes()
+        if k in want:
+            want[k] = (want[k][0] + int(cnts[i]), want[k][1])
+        else:
+            want[k] = (int(cnts[i]), i)
+    assert got == want
+    tbl.close()
+
+
+def test_dedup_insert_lines_matches_matrix_insert():
+    rng = np.random.default_rng(13)
+    data = _fastq_bytes(rng, 400) * 2
+    fr = codec.frame_fastq_fast(data)
+    buf, ss, sl, qs = fr
+    t1 = native.DedupTable()
+    t1.insert_lines(buf, ss, sl, 0)
+    batch = codec.parse(data, q_offset=33)
+    t2 = native.DedupTable()
+    t2.insert(batch.bases, batch.lengths, None, 0)
+
+    def as_dict(t):
+        offs, keys, uc, uf = t.extract()
+        return {
+            keys[offs[i]:offs[i + 1]].tobytes(): (int(uc[i]), int(uf[i]))
+            for i in range(len(uc))
+        }
+
+    assert as_dict(t1) == as_dict(t2)
+    t1.close()
+    t2.close()
+
+
+def test_rank_count_column_matches_python():
+    from fastx_toolkit_tpu.ops.collapse import rank_count_column
+
+    rng = np.random.default_rng(17)
+    for counts in (
+        rng.integers(1, 10 ** 6, 257).astype(np.int64),
+        np.array([1], np.int64),
+        np.array([], np.int64),
+        np.array([1, 10, 100, 999, 1000, 123456789], np.int64),
+    ):
+        flat, offs = rank_count_column(counts)
+        want = b"".join(
+            b"%d-%d" % (r + 1, c) for r, c in enumerate(counts.tolist())
+        )
+        assert flat.tobytes() == want
+        lens = [len(b"%d-%d" % (r + 1, c)) for r, c in enumerate(counts.tolist())]
+        assert np.array_equal(np.diff(offs), np.array(lens, np.int64))
