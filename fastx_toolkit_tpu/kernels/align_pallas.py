@@ -44,6 +44,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _h_pad(H: int) -> int:
+    return max(8, _round_up(H, 8))
+
+
+def pallas_bounds_ok(L: int, H: int) -> bool:
+    """True iff the packed path-statistic field bounds hold for a read
+    length L and adapter length H: matches/mismatches/neutral/target_start
+    each fit 8 bits (H <= 255) and the biased gap field fits 15 bits
+    (L + H + H_pad < 2^15).  Callers (ops/clipper._align_dispatch) fall
+    back to the XLA engine otherwise; both bounds hold for the
+    reference's limits (adapter <= 100, reads <= 25000:
+    /root/reference/src/fastx_clipper/fastx_clipper.cpp:40,
+    /root/reference/src/libfastx/fastx.h:33-35)."""
+    return H <= 255 and L + H + _h_pad(H) < (1 << 15)
+
+
 def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
     nscan = max(1, int(np.ceil(np.log2(H_pad))))
 
@@ -222,11 +238,17 @@ def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
     adapter <= 100 / reads <= 25000; _align_dispatch falls back to the
     jnp engine otherwise)."""
     B, L = bases.shape
-    assert B % tile_b == 0, (B, tile_b)
     H = len(adapter)
-    assert H <= 255, "packed stats fields hold <= 255 (adapter too long)"
-    assert L + H + _round_up(max(8, H), 8) < (1 << 15), "gap field overflow"
-    H_pad = max(8, _round_up(H, 8))
+    if B % tile_b != 0:
+        raise ValueError("batch %d not a multiple of tile_b %d" % (B, tile_b))
+    if not pallas_bounds_ok(L, H):
+        # ValueError (not assert): the bound must survive python -O — a
+        # silent overflow would corrupt the packed path statistics
+        raise ValueError(
+            "packed path-stat field bounds exceeded (L=%d, adapter=%d); "
+            "use the XLA engine (align_batch)" % (L, H)
+        )
+    H_pad = _h_pad(H)
     L_pad = _round_up(L, 8)
     basesT = bases.astype(jnp.int32).T  # [L, B] int32
     if L_pad != L:

@@ -18,23 +18,46 @@ from . import transforms
 
 def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
     """Pick the Pallas kernel on TPU-class backends (3x the XLA scan
-    version); fall back to the jnp engine on CPU or for batches too small
-    to tile (results are bit-identical either way)."""
-    B = bases.shape[0]
+    version); fall back to the jnp engine on CPU, for tiny batches, or
+    beyond the packed-field bounds (results are bit-identical either
+    way).  Batches that aren't a tile multiple are padded with length-0
+    rows so tail chunks stay on the kernel path instead of silently
+    dropping to the ~25x-HBM-traffic scan engine."""
+    import sys
+
+    from ..kernels.align_pallas import pallas_bounds_ok
+
+    B, L = bases.shape
     platform = jax.devices()[0].platform
     use_pallas = (
         platform in ("tpu", "axon")
         and not os.environ.get("FASTX_TPU_NO_PALLAS")
-        and B % 1024 == 0
-        # packed path-stat field bounds (align_batch_pallas docstring);
-        # always true for reference-legal inputs (adapter <= 100,
-        # reads <= 25000)
-        and len(adapter) <= 255
-        and bases.shape[1] + len(adapter) + 264 < (1 << 15)
+        # below ~a quarter tile the padding overhead outweighs the
+        # kernel's traffic advantage
+        and B >= 256
+        and pallas_bounds_ok(L, len(adapter))
     )
+    if os.environ.get("FASTX_TPU_LOG_DISPATCH"):
+        # trace-time log: fires once per compiled shape
+        print(
+            "clipper dispatch: %s B=%d L=%d adapter=%d"
+            % ("pallas" if use_pallas else "xla-scan", B, L, len(adapter)),
+            file=sys.stderr,
+        )
     if use_pallas:
         tile = 2048 if B % 2048 == 0 else 1024
-        return align_batch_pallas(bases, lengths, adapter, tile_b=tile)
+        Bp = -(-B // tile) * tile
+        if Bp != B:
+            bases = jnp.concatenate(
+                [bases, jnp.zeros((Bp - B, L), bases.dtype)], axis=0
+            )
+            lengths = jnp.concatenate(
+                [lengths, jnp.zeros((Bp - B,), lengths.dtype)], axis=0
+            )
+        res = align_batch_pallas(bases, lengths, adapter, tile_b=tile)
+        if Bp != B:
+            res = {k: v[:B] for k, v in res.items()}
+        return res
     return align_batch(bases, lengths, adapter)
 
 

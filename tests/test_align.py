@@ -145,3 +145,51 @@ def test_pallas_packed_field_bounds():
     }
     for k in ref:
         np.testing.assert_array_equal(ref[k], out[k], err_msg=k)
+
+
+def test_pallas_bounds_helper_and_errors():
+    from fastx_toolkit_tpu.kernels.align_pallas import (
+        align_batch_pallas,
+        pallas_bounds_ok,
+    )
+
+    # reference limits hold (fastx.h:33-35, fastx_clipper.cpp:40)
+    assert pallas_bounds_ok(25000, 100)
+    assert not pallas_bounds_ok(100, 256)  # adapter beyond the 8-bit fields
+    assert not pallas_bounds_ok(32700, 100)  # gap field overflow
+    with pytest.raises(ValueError):
+        align_batch_pallas(
+            np.zeros((128, 24), np.uint8), np.zeros(128, np.int32),
+            b"A" * 256, tile_b=128, interpret=True,
+        )
+    with pytest.raises(ValueError):  # B not a tile multiple
+        align_batch_pallas(
+            np.zeros((100, 24), np.uint8), np.zeros(100, np.int32),
+            b"CCTTAAGG", tile_b=128, interpret=True,
+        )
+
+
+def test_pallas_length0_padding_rows_are_inert():
+    """_align_dispatch pads tail batches with length-0 rows to reach the
+    tile size; those rows must not disturb the real rows' results."""
+    from fastx_toolkit_tpu.kernels.align_pallas import align_batch_pallas
+
+    rng = np.random.default_rng(23)
+    B, L = 100, 40
+    adapter = b"CCTTAAGG"
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    bases = rng.choice(alpha, size=(B, L))
+    lengths = rng.integers(1, L + 1, B).astype(np.int32)
+    cols = np.arange(L)
+    bases[cols[None, :] >= lengths[:, None]] = 0
+    pad_b = np.concatenate([bases, np.zeros((128 - B, L), np.uint8)])
+    pad_l = np.concatenate([lengths, np.zeros(128 - B, np.int32)])
+    out = {
+        k: np.asarray(v)[:B]
+        for k, v in align_batch_pallas(
+            pad_b, pad_l, adapter, tile_b=128, interpret=True
+        ).items()
+    }
+    ref = {k: np.asarray(v) for k, v in align.align_batch(bases, lengths, adapter).items()}
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], out[k], err_msg=k)
