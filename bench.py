@@ -31,6 +31,7 @@ Extra modes (VERDICT round-1 item #2):
                  production ceiling; this measures the host leg of it.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -130,6 +131,21 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
         block_bytes=BLOCK_BYTES, stream=io.BytesIO(data),
     )
 
+    # per-leg waterfall (FASTX_BENCH_WATERFALL=1): cumulative seconds in
+    # each leg; parse/pack/drain live on the producer thread, render on
+    # the main thread, so legs on different threads overlap in wall time
+    waterfall = os.environ.get("FASTX_BENCH_WATERFALL")
+    wf = {"parse": 0.0, "pack+dispatch": 0.0, "drain(link)": 0.0,
+          "render": 0.0}
+
+    def timed(leg, f, *a):
+        if not waterfall:
+            return f(*a)
+        t0 = time.perf_counter()
+        r = f(*a)
+        wf[leg] += time.perf_counter() - t0
+        return r
+
     blocks_q: "queue.Queue" = queue.Queue()
     futs_q: "queue.Queue" = queue.Queue(maxsize=32)
     err = []
@@ -155,23 +171,47 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
     # The tunnel-attached device degrades badly when many transfers are
     # queued at once (measured ~30x slower than paced transfers), so keep
     # a small fixed number of chunks in flight: upload of chunk i+1
-    # overlaps compute+readback of chunk i, nothing more.
+    # overlaps compute+readback of chunk i, nothing more.  The bounded
+    # inflight queue enforces the pacing; a dedicated drainer thread
+    # blocks on the device readback so the link wait overlaps the
+    # producer's parse/pack instead of serializing with it (the round-2
+    # waterfall showed parse ~1.0s and drain ~0.8s back to back on one
+    # thread).
     inflight_max = int(os.environ.get("FASTX_BENCH_INFLIGHT", 2))
+    # total dispatched-but-undrained chunks = queue depth + the one the
+    # drainer holds, so the queue is one slot smaller than the budget
+    inflight_q: "queue.Queue" = queue.Queue(maxsize=max(1, inflight_max - 1))
+
+    def drain():
+        try:
+            while True:
+                item = inflight_q.get()
+                if item is None:
+                    break
+                nrows, fut = item
+                futs_q.put((nrows, timed("drain(link)", np.asarray, fut[0]),
+                            np.asarray(fut[1])))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            futs_q.put(None)
 
     def produce():
-        from collections import deque
-
         carry = []  # [(bases, quals, lengths_i16)] awaiting a full chunk
         pend = 0
-        inflight = deque()
 
-        def drain_one():
-            nrows, fut = inflight.popleft()
-            l, k = fut[0], fut[1]
-            futs_q.put((nrows, np.asarray(l), np.asarray(k)))
+        def next_batch(it):
+            try:
+                return timed("parse", next, it)
+            except StopIteration:
+                return None
 
         try:
-            for batch in reader:
+            batches = iter(reader)
+            while True:
+                batch = next_batch(batches)
+                if batch is None:
+                    break
                 blocks_q.put(batch)
                 carry.append((
                     np.asarray(batch.bases),
@@ -193,22 +233,28 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
                             carry[0] = (b[need:], q[need:], l[need:])
                             got = CHUNK
                     cb, cq, cl = assemble(take)
-                    inflight.append((CHUNK, _dispatch_chunk(cb, cq, cl, fns, cfg)))
-                    if len(inflight) >= inflight_max:
-                        drain_one()
+                    inflight_q.put(
+                        (CHUNK,
+                         timed("pack+dispatch", _dispatch_chunk, cb, cq, cl,
+                               fns, cfg))
+                    )
             if pend:
                 cb, cq, cl = assemble(carry, pad_rows=CHUNK - pend)
-                inflight.append((pend, _dispatch_chunk(cb, cq, cl, fns, cfg)))
-            while inflight:
-                drain_one()
+                inflight_q.put(
+                    (pend,
+                     timed("pack+dispatch", _dispatch_chunk, cb, cq, cl,
+                           fns, cfg))
+                )
         except BaseException as e:  # surface in the main thread
             err.append(e)
         finally:
             blocks_q.put(None)
-            futs_q.put(None)
+            inflight_q.put(None)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
+    t_drain = threading.Thread(target=drain, daemon=True)
+    t_drain.start()
 
     # consumer: futures arrive in global read order; fill each block's
     # decision buffers and render the moment a block completes
@@ -242,10 +288,12 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
             # the masker's byte edits and the keep-filter are fused into
             # the native render loop (zero extra passes), which writes
             # straight into the output arena (no bytes objects, no join)
-            out_pos += codec.render(
-                batch, out_fastq=out_fastq, ascii_qual=True, q_offset=33,
-                keep=keep, mask_thr=cfg.mask_q if cfg.with_mask else None,
-                out=arena, out_off=out_pos,
+            out_pos += timed(
+                "render", lambda: codec.render(
+                    batch, out_fastq=out_fastq, ascii_qual=True, q_offset=33,
+                    keep=keep, mask_thr=cfg.mask_q if cfg.with_mask else None,
+                    out=arena, out_off=out_pos,
+                )
             )
             n_total += len(batch)
             if not next_block():
@@ -253,6 +301,7 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
 
     if not next_block():
         t.join()
+        t_drain.join()
         if err:
             raise err[0]
         return 0, 0
@@ -277,8 +326,17 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
             spill_len = dlen[pos:]
             spill_keep = dkeep[pos:]
     t.join()
+    t_drain.join()
     if err:
         raise err[0]
+    if waterfall:
+        print(
+            "waterfall: "
+            + "  ".join("%s=%.3fs" % (k, v) for k, v in wf.items())
+            + "  (parse/pack/drain on producer thread, render on main; "
+            "legs overlap)",
+            file=sys.stderr,
+        )
     return n_total, out_pos
 
 
@@ -475,6 +533,7 @@ def run_config_stats(device_resident: bool = False):
             if time.perf_counter() - t_start > 20:
                 break
         emit(3, CHUNK / best, suffix="_device_resident")
+        sol_accounting(3, CHUNK / best)
         return
 
     cfg0 = PipelineConfig(with_filter=False, with_qtrim=False, with_mask=False)
@@ -794,6 +853,7 @@ def run_config_collapse(device_resident: bool = False):
             if time.perf_counter() - t_start > 20:
                 break
         emit(5, CHUNK / best, suffix="_device_resident")
+        sol_accounting(5, CHUNK / best)
         return
 
     n_reads = CONFIG_READS.get(5, N_READS)
@@ -952,6 +1012,84 @@ def cbaseline():
         }))
 
 
+# ---------------------------------------------------------------------------
+# Speed-of-light accounting (VERDICT r2 item #2)
+# ---------------------------------------------------------------------------
+#
+# v5e (v5 lite) public chip parameters (jax-ml.github.io/scaling-book):
+#   HBM bandwidth  ~8.1e11 B/s
+#   bf16 matmul    ~1.97e14 FLOP/s (MXU)
+#   VPU            8x128 lanes x 4 ALUs @ ~0.94 GHz ~ 3.9e12 elementwise
+#                  ops/s, i.e. ~3.8e9 (8,128)-shaped vector instrs/s
+# The preprocessing pipeline is elementwise/int work, so its ceilings are
+# HBM bandwidth and VPU issue rate, not MXU FLOPs (no large matmuls
+# except the stats one-hot histogram).
+V5E_HBM_BPS = 8.1e11
+V5E_VPU_VINSTR_PS = 3.8e9  # (8,128)-vector instructions per second
+V5E_MXU_FLOPS = 1.97e14
+
+
+def sol_accounting(config_n: int, measured_rps: float):
+    """Analytic roofline for the device-resident kernel of a config:
+    bytes/read moved through HBM and (for the DP) VPU vector instructions
+    per read, against the v5e ceilings.  The dominant kernel per config:
+
+    * 0/4 — the Pallas DP: per column step the kernel issues ~90 vector
+      ops over the [H_pad, TILE_B] planes (match/score ~25, 3-plane
+      Hillis-Steele scan ceil(log2 H_pad)*3*~3, argmax+update ~20).
+      vinstr/read = 90 * L * H_pad / 1024.  HBM traffic is the [L, B]
+      int32 operand (4L B/read in + its 4L materialization) + outputs.
+    * 1/2 — fused elementwise filters: HBM = packed inputs (L/4 + T*L/8
+      + 2) + unpacked intermediates (~3 materialized [B, L] u8 arrays
+      between fusion boundaries) + decisions out; VPU ~ L/1024 * ~40.
+    * 3 — one-hot histogram matmul: HBM 2L B/read; MXU 2*654*L FLOP/read.
+    * 5 — multi-key sort: ~log2(B) passes over 4*ceil(L/4)+8 key bytes.
+
+    Prints one JSON line per call; numbers are analytic estimates (the
+    assumptions above), meant to place the measured figure on the
+    roofline, not to be exact.
+    """
+    L = READ_LEN
+    H = len(ADAPTER)
+    H_pad = max(8, -(-H // 8) * 8)
+    if config_n in (0, 4):
+        vinstr = 90.0 * L * H_pad / 1024.0
+        sol_vpu = V5E_VPU_VINSTR_PS / vinstr
+        hbm = 8.0 * L + 64
+        sol_bw = V5E_HBM_BPS / hbm
+        bound = "vpu-dp"
+    elif config_n in (1, 2):
+        hbm = (L / 4.0 + L / 8.0 + 2) + 3 * L + 8
+        sol_bw = V5E_HBM_BPS / hbm
+        vinstr = 40.0 * L / 1024.0
+        sol_vpu = V5E_VPU_VINSTR_PS / vinstr
+        bound = "hbm"
+    elif config_n == 3:
+        hbm = 2.0 * L + 8
+        sol_bw = V5E_HBM_BPS / hbm
+        flops = 2.0 * 654 * L
+        sol_vpu = V5E_MXU_FLOPS / flops
+        bound = "hbm"
+    else:  # 5
+        passes = 18  # ~log2(262144) radix/merge passes of a device sort
+        hbm = passes * (4.0 * -(-L // 4) + 8)
+        sol_bw = V5E_HBM_BPS / hbm
+        sol_vpu = float("inf")
+        bound = "hbm-sort"
+    sol = min(sol_bw, sol_vpu)
+    print(json.dumps({
+        "metric": "speed_of_light_config%d" % config_n,
+        "sol_reads_per_sec": round(sol, 1),
+        "sol_bound": bound,
+        "sol_hbm_bytes_per_read": round(hbm, 1),
+        "sol_bw_rps": round(sol_bw, 1),
+        "sol_compute_rps": (round(sol_vpu, 1) if sol_vpu != float("inf") else None),
+        "measured_device_rps": round(measured_rps, 1),
+        "pct_of_sol": round(100.0 * measured_rps / sol, 1),
+        "note": "analytic v5e roofline (see bench.py sol_accounting docstring)",
+    }))
+
+
 def device_only(config_n: int = 0):
     """Measure the fused step on device-resident data: the per-chip
     compute ceiling with no host link in the loop (what a production
@@ -1010,6 +1148,29 @@ def device_only(config_n: int = 0):
         )
     else:
         emit(config_n, rps, suffix="_device_resident")
+    sol_accounting(config_n, rps)
+    # stage decomposition: the same step with the DP disabled isolates
+    # the clipper kernel's share of the device time
+    if config_n == 0:
+        cfg_noclip = dataclasses.replace(cfg, with_clip=False)
+        fn2 = packed_decisions_pipeline(cfg_noclip, two_bit=True,
+                                        has_n_plane=False)
+        _ = np.asarray(fn2(*xs)[0][:1])
+        b2t = float("inf")
+        t_start = time.perf_counter()
+        for _i in range(12):
+            t0 = time.perf_counter()
+            out = fn2(*xs)
+            _ = np.asarray(out[0][:1])
+            b2t = min(b2t, time.perf_counter() - t0)
+            if time.perf_counter() - t_start > 12:
+                break
+        print(json.dumps({
+            "metric": "device_stage_decomposition",
+            "fused_step_sec": round(dt, 4),
+            "without_clip_sec": round(b2t, 4),
+            "dp_share_pct": round(100.0 * max(dt - b2t, 0) / dt, 1),
+        }))
 
 
 def host_only():
