@@ -340,6 +340,241 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
     return n_total, out_pos
 
 
+class _LineFallback(Exception):
+    """Raised when a lane needs the classic padded-matrix path."""
+
+
+def run_once_lines(data: bytes, fns, cfg, arena, *,
+                   out_fastq: bool = True) -> tuple[int, int]:
+    """run_once on the raw-line fast path: frame + validate each chunk's
+    line spans, pack the device upload straight from the spans
+    (fx_pack2_lines), and render the output from the spans + device
+    decisions (fx_render_*_lines) — the padded [B, L] base/quality
+    matrices are never built.  Raises _LineFallback when the lane needs
+    the full parser (numeric quals, non-ACGTN bytes, framing errors);
+    callers rerun with run_once."""
+    import io
+    import queue
+    import threading
+    from types import SimpleNamespace
+
+    from fastx_toolkit_tpu.cli.tools._shared import BatchReader
+    from fastx_toolkit_tpu.core import codec, native
+    from fastx_toolkit_tpu.engine.pipeline import _thresholds
+
+    if native.LIB is None:
+        raise _LineFallback("native codec unavailable")
+    thresholds = _thresholds(cfg)
+    allowed = codec.allowed_table_u8()
+    args = SimpleNamespace(input_filename="<bench>", q_offset=33)
+    reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
+                         block_bytes=BLOCK_BYTES, stream=io.BytesIO(data))
+
+    waterfall = os.environ.get("FASTX_BENCH_WATERFALL")
+    wf = {"frame": 0.0, "validate+scan": 0.0, "pack+dispatch": 0.0,
+          "drain(link)": 0.0, "render": 0.0}
+
+    def timed(leg, f, *a):
+        if not waterfall:
+            return f(*a)
+        t0 = time.perf_counter()
+        r = f(*a)
+        wf[leg] += time.perf_counter() - t0
+        return r
+
+    blocks_q: "queue.Queue" = queue.Queue()
+    futs_q: "queue.Queue" = queue.Queue(maxsize=32)
+    err = []
+    inflight_max = int(os.environ.get("FASTX_BENCH_INFLIGHT", 2))
+    inflight_q: "queue.Queue" = queue.Queue(maxsize=max(1, inflight_max - 1))
+    fn2_clean, fn2, fn4 = fns
+
+    def drain():
+        try:
+            while True:
+                item = inflight_q.get()
+                if item is None:
+                    break
+                nrows, fut = item
+                futs_q.put((nrows, timed("drain(link)", np.asarray, fut[0]),
+                            np.asarray(fut[1])))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            futs_q.put(None)
+
+    def produce():
+        segs = []  # (frame, row_lo, row_hi) awaiting a full dispatch chunk
+        pend = 0
+        any_n = False
+
+        def flush(rows, pad_rows=0):
+            """Pack `rows` rows from the leading segments into one
+            dispatch chunk and ship it."""
+            nonlocal segs, any_n
+            take, got = [], 0
+            while got < rows:
+                fr, lo, hi = segs[0]
+                need = rows - got
+                if hi - lo <= need:
+                    take.append(segs.pop(0))
+                    got += hi - lo
+                else:
+                    take.append((fr, lo, lo + need))
+                    segs[0] = (fr, lo + need, hi)
+                    got = rows
+            W = max(int(fr.seq_lens[lo:hi].max()) if hi > lo else 1
+                    for fr, lo, hi in take)
+            B = rows + pad_rows
+            n_planes = len(thresholds) + (1 if any_n else 0)
+            b2 = np.zeros((B, (W + 3) // 4), np.uint8)
+            planes = np.zeros((B, n_planes, (W + 7) // 8), np.uint8)
+            lengths = np.zeros(B, np.int16)
+            r0 = 0
+            for fr, lo, hi in take:
+                nseg = hi - lo
+                native.pack2_lines(
+                    fr.buf, fr.seq_starts[lo:hi], fr.qual_starts[lo:hi],
+                    fr.seq_lens[lo:hi], W, 33, thresholds, any_n,
+                    b2_out=b2, planes_out=planes, row0=r0,
+                )
+                lengths[r0:r0 + nseg] = fr.seq_lens[lo:hi]
+                r0 += nseg
+            fn = fn2 if any_n else fn2_clean
+            inflight_q.put((rows, fn(b2, planes, lengths)))
+
+        try:
+            for chunk, line_base in reader.iter_chunks():
+                fr = timed("frame", codec.frame_fastq_fast, chunk)
+                if fr is None:
+                    raise _LineFallback("chunk needs the full parser")
+
+                def _vs():
+                    bad = native.validate_records(
+                        fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts,
+                        allowed, 33,
+                    )
+                    if bad != -1:
+                        raise _LineFallback("validation fallback")
+                    return native.scan_lines(
+                        fr.buf, fr.seq_starts, fr.seq_lens
+                    )
+                pure, has_n = timed("validate+scan", _vs)
+                if not pure:
+                    raise _LineFallback("non-ACGTN chunk")
+                if has_n and not any_n and pend:
+                    # planes layout changes mid-stream: flush what we
+                    # have (padded to CHUNK so the compiled shape is
+                    # reused)
+                    timed("pack+dispatch", flush, pend, CHUNK - pend)
+                    pend = 0
+                any_n = any_n or has_n
+                blocks_q.put(fr)
+                segs.append((fr, 0, len(fr)))
+                pend += len(fr)
+                while pend >= CHUNK:
+                    pend -= CHUNK
+                    timed("pack+dispatch", flush, CHUNK)
+            if pend:
+                timed("pack+dispatch", flush, pend, CHUNK - pend)
+        except BaseException as e:
+            err.append(e)
+        finally:
+            blocks_q.put(None)
+            inflight_q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    t_drain = threading.Thread(target=drain, daemon=True)
+    t_drain.start()
+
+    n_total = 0
+    out_pos = 0
+    cur = None  # [frame, new_len buf, keep buf, fill pos]
+    spill_len = spill_keep = None
+
+    def next_block():
+        nonlocal cur, spill_len, spill_keep
+        b = blocks_q.get()
+        if b is None:
+            cur = None
+            return False
+        n = len(b)
+        cur = [b, np.empty(n, np.int32), np.empty(n, bool), 0]
+        if spill_len is not None:
+            take = min(len(spill_len), n)
+            cur[1][:take] = spill_len[:take]
+            cur[2][:take] = spill_keep[:take]
+            cur[3] = take
+            spill_len = spill_len[take:] if take < len(spill_len) else None
+            spill_keep = spill_keep[take:] if spill_len is not None else None
+        return True
+
+    def flush_if_done():
+        nonlocal cur, n_total, out_pos
+        while cur is not None and cur[3] == len(cur[0]):
+            fr, new_len, keep, _ = cur
+            out_pos += timed(
+                "render", lambda: native.render_lines(
+                    fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
+                    fr.qual_starts, fr.name2_starts, fr.name2_lens,
+                    new_len, keep, out_fastq=out_fastq, q_offset=33,
+                    mask_thr=cfg.mask_q if cfg.with_mask else None,
+                    out=arena, out_off=out_pos,
+                )
+            )
+            n_total += len(fr)
+            if not next_block():
+                break
+
+    if not next_block():
+        t.join()
+        t_drain.join()
+        if err:
+            raise err[0]
+        return 0, 0
+    while True:
+        item = futs_q.get()
+        if item is None:
+            break
+        nrows, l, k = item
+        dlen = l[:nrows]
+        dkeep = k[:nrows]
+        pos = 0
+        while pos < nrows and cur is not None:
+            room = len(cur[0]) - cur[3]
+            take = min(room, nrows - pos)
+            cur[1][cur[3]:cur[3] + take] = dlen[pos:pos + take]
+            cur[2][cur[3]:cur[3] + take] = dkeep[pos:pos + take]
+            cur[3] += take
+            pos += take
+            flush_if_done()
+        if pos < nrows:
+            spill_len = dlen[pos:]
+            spill_keep = dkeep[pos:]
+    t.join()
+    t_drain.join()
+    if err:
+        raise err[0]
+    if waterfall:
+        print(
+            "waterfall(lines): "
+            + "  ".join("%s=%.3fs" % (k, v) for k, v in wf.items())
+            + "  (frame/validate/pack on producer, drain on drainer, "
+            "render on main)",
+            file=sys.stderr,
+        )
+    return n_total, out_pos
+
+
+def run_once_auto(data, fns, cfg, arena, *, out_fastq: bool = True):
+    """run_once_lines with transparent fallback to the classic path."""
+    try:
+        return run_once_lines(data, fns, cfg, arena, out_fastq=out_fastq)
+    except _LineFallback:
+        return run_once(data, fns, cfg, arena, out_fastq=out_fastq)
+
+
 # ---------------------------------------------------------------------------
 # BASELINE.json configs 1-5 (VERDICT round-1 item #2)
 # ---------------------------------------------------------------------------
@@ -437,13 +672,13 @@ def run_config_pipeline(config_n: int):
     arena = np.empty(len(data) + (1 << 20), np.uint8)
     arena[::4096] = 0
     t0 = time.perf_counter()
-    run_once(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena,
-             out_fastq=out_fastq)
+    run_once_auto(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena,
+                  out_fastq=out_fastq)
     print("warmup %.1fs" % (time.perf_counter() - t0), file=sys.stderr)
     times = []
     for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
         t0 = time.perf_counter()
-        n, nbytes = run_once(data, fns, cfg, arena, out_fastq=out_fastq)
+        n, nbytes = run_once_auto(data, fns, cfg, arena, out_fastq=out_fastq)
         dt = time.perf_counter() - t0
         times.append(dt)
         print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
@@ -1198,24 +1433,26 @@ def host_only():
     print("host lane: %d reads, %d bytes" % (N_READS, len(data)), file=sys.stderr)
     arena = np.empty(len(data) + (1 << 20), np.uint8)
     arena[::4096] = 0
-    run_once(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena)  # warm
-    times = []
-    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 5))):
-        t0 = time.perf_counter()
-        n, nbytes = run_once(data, fns, cfg, arena)
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
-              % (it, dt, n / dt, nbytes), file=sys.stderr)
-    rps = N_READS / min(times)
-    print(json.dumps({
-        "metric": "reads_per_sec_host_codec_only",
-        "value": round(rps, 1),
-        "unit": "reads/sec",
-        "vs_baseline": round(rps / C_BASELINE_READS_PER_SEC, 3),
-        "note": "parse+pack+render only, device stubbed; production "
-                "end-to-end ~ min(this, --device)",
-    }))
+    for name, runner in (("classic", run_once), ("lines", run_once_auto)):
+        runner(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena)
+        times = []
+        for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 5))):
+            t0 = time.perf_counter()
+            n, nbytes = runner(data, fns, cfg, arena)
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            print("%s iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
+                  % (name, it, dt, n / dt, nbytes), file=sys.stderr)
+        rps = N_READS / min(times)
+        print(json.dumps({
+            "metric": "reads_per_sec_host_codec_only"
+                      + ("" if name == "classic" else "_lines"),
+            "value": round(rps, 1),
+            "unit": "reads/sec",
+            "vs_baseline": round(rps / C_BASELINE_READS_PER_SEC, 3),
+            "note": "parse+pack+render only, device stubbed; production "
+                    "end-to-end ~ min(this, --device)",
+        }))
 
 
 def scaling(n_procs: int = 2):
@@ -1282,29 +1519,50 @@ def scaling(n_procs: int = 2):
             check=True, env=env, cwd="/root/repo")
         return time.perf_counter() - t0
 
-    # warm the jit cache once (tiny lane), then best-of-2 on the real one
-    reps = int(os.environ.get("FASTX_BENCH_ITERS", 2))
-    t1 = min(run_single("/tmp/scale_1.out") for _ in range(reps + 1))
-    tn = min(run_pod("/tmp/scale_n.out") for _ in range(reps + 1))
+    # one warmup run each (jit cache), then >= 5 timed repeats; report
+    # the MEDIAN with the spread so single-run variance on this shared
+    # 2-core host can't manufacture an efficiency above 1.0 (VERDICT r2
+    # item #6: a >1.0 reading is a measurement artifact by construction
+    # and must not be published)
+    reps = int(os.environ.get("FASTX_BENCH_SCALE_REPS", 5))
+    run_single("/tmp/scale_1.out")
+    t1s = sorted(run_single("/tmp/scale_1.out") for _ in range(reps))
+    run_pod("/tmp/scale_n.out")
+    tns = sorted(run_pod("/tmp/scale_n.out") for _ in range(reps))
     startup = min(measure_startup() for _ in range(3))
     with open("/tmp/scale_1.out", "rb") as f1, open("/tmp/scale_n.out", "rb") as fn_:
         assert f1.read() == fn_.read(), "merged multi-process output differs!"
+
+    def median(xs):
+        return xs[len(xs) // 2] if len(xs) % 2 else 0.5 * (
+            xs[len(xs) // 2 - 1] + xs[len(xs) // 2]
+        )
+
+    t1 = median(t1s)
+    tn = median(tns)
     eff = t1 / (n_procs * tn)
     # a real pod job runs minutes-to-hours per process; the ~3s python+jax
     # startup each worker pays here is a constant, so report the work-time
     # efficiency alongside the raw wall-clock one
     eff_work = (t1 - startup) / (n_procs * (tn - startup))
+    oversub = n_procs > os.cpu_count()
     print(json.dumps({
         "metric": "multihost_scaling_efficiency_stats_%dproc" % n_procs,
         "value": round(eff_work, 3),
-        "unit": "T1/(N*TN), python+jax startup excluded",
+        "unit": "median T1/(N*TN), python+jax startup excluded",
         "raw_wallclock_efficiency": round(eff, 3),
-        "t1_sec": round(t1, 2),
-        "tn_sec": round(tn, 2),
+        "t1_sec_median": round(t1, 2),
+        "t1_sec_spread": [round(t1s[0], 2), round(t1s[-1], 2)],
+        "tn_sec_median": round(tn, 2),
+        "tn_sec_spread": [round(tns[0], 2), round(tns[-1], 2)],
         "startup_sec": round(startup, 2),
+        "repeats": reps,
         "reads": N_READS,
+        "host_cores": os.cpu_count(),
         "note": "CPU backend both sides, 1 core + 1 native thread per process;"
-                " merged output byte-identical to single-process",
+                " merged output byte-identical to single-process"
+                + ("; N > cores: processes share cores, efficiency is"
+                   " core-bound, not front-end-bound" if oversub else ""),
     }))
 
 
@@ -1370,7 +1628,7 @@ def main():
     # warmup (compile) on a small lane; padding makes the device shape
     # identical to the timed runs so the executable is reused
     t0 = time.perf_counter()
-    run_once(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena)
+    run_once_auto(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena)
     print("warmup %.1fs" % (time.perf_counter() - t0), file=sys.stderr)
 
     # best-of-N: the tunnel's bandwidth swings 6-35 MB/s minute to
@@ -1378,7 +1636,7 @@ def main():
     times = []
     for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
         t0 = time.perf_counter()
-        n, nbytes = run_once(data, fns, cfg, arena)
+        n, nbytes = run_once_auto(data, fns, cfg, arena)
         dt = time.perf_counter() - t0
         times.append(dt)
         print(

@@ -364,18 +364,45 @@ def parse(
     )
 
 
+class FastqFrame:
+    """Raw-line spans of a clean FASTQ chunk (see frame_fastq_fast)."""
+
+    __slots__ = ("buf", "seq_starts", "seq_lens", "qual_starts",
+                 "name_starts", "name_lens", "name2_starts", "name2_lens")
+
+    def __init__(self, buf, seq_starts, seq_lens, qual_starts,
+                 name_starts, name_lens, name2_starts, name2_lens):
+        self.buf = buf
+        self.seq_starts = seq_starts
+        self.seq_lens = seq_lens
+        self.qual_starts = qual_starts
+        self.name_starts = name_starts  # after the '@'
+        self.name_lens = name_lens
+        self.name2_starts = name2_starts  # after the '+'
+        self.name2_lens = name2_lens
+
+    def __len__(self):
+        return len(self.seq_starts)
+
+    def __iter__(self):  # legacy 4-tuple destructuring
+        return iter(
+            (self.buf, self.seq_starts, self.seq_lens, self.qual_starts)
+        )
+
+
 def frame_fastq_fast(data: bytes):
     """Vectorized 4-line FASTQ framing for the fused host fast paths
-    (stats histogram / collapser dedup straight from raw line spans).
+    (stats histogram / collapser dedup / pack / render straight from raw
+    line spans).
 
-    Returns ``(buf, seq_starts, seq_lens, qual_starts)`` int64 arrays when
-    the chunk is clean: complete records, '@' header prefixes, and ASCII
-    quality lines (length == sequence length, fastx.c:382-390).  Returns
-    ``None`` whenever anything needs the full parser — numeric qualities,
-    framing errors, empty chunks — and the caller re-parses with
-    :func:`parse` for the reference's exact error text.  Byte validation
-    (sequence alphabet / quality value range) is NOT done here; callers
-    run ``native.validate_records`` and fall back the same way.
+    Returns a :class:`FastqFrame` when the chunk is clean: complete
+    records, '@' header prefixes, and ASCII quality lines (length ==
+    sequence length, fastx.c:382-390).  Returns ``None`` whenever
+    anything needs the full parser — numeric qualities, framing errors,
+    empty chunks — and the caller re-parses with :func:`parse` for the
+    reference's exact error text.  Byte validation (sequence alphabet /
+    quality value range) is NOT done here; callers run
+    ``native.validate_records`` and fall back the same way.
     """
     if not data:
         return None
@@ -385,17 +412,29 @@ def frame_fastq_fast(data: bytes):
         return None
     lens = ends - starts
     hdr_starts = starts[0::4]
-    if not ((lens[0::4] > 0) & (buf[np.minimum(hdr_starts, len(buf) - 1)]
-                                == ord("@"))).all():
+    hdr_lens = lens[0::4]
+    if not ((hdr_lens > 0) & (buf[np.minimum(hdr_starts, len(buf) - 1)]
+                              == ord("@"))).all():
         return None
     seq_lens = lens[1::4]
     if not (lens[3::4] == seq_lens).all():
         return None
-    return (
+    n2_lens = lens[2::4]
+    # the '+' prefix is implied by position; a record whose 3rd line is
+    # empty would be the reference's name2="" case with no '+' — the
+    # reference accepts any 3rd line (fastx.c reads it verbatim), but the
+    # renderer re-emits '+' + name2, so an empty 3rd line must fall back
+    if not (n2_lens > 0).all():
+        return None
+    return FastqFrame(
         buf,
         np.ascontiguousarray(starts[1::4]),
         np.ascontiguousarray(seq_lens),
         np.ascontiguousarray(starts[3::4]),
+        np.ascontiguousarray(hdr_starts + 1),
+        np.ascontiguousarray(hdr_lens - 1),
+        np.ascontiguousarray(starts[2::4] + 1),
+        np.ascontiguousarray(n2_lens - 1),
     )
 
 

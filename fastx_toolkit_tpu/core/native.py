@@ -106,6 +106,22 @@ def _load():
     lib.fx_dedup_insert_lines.argtypes = [ctypes.c_void_p, _u8p, _i64p,
                                           _i64p, ctypes.c_int64,
                                           ctypes.c_int64, ctypes.c_int]
+    lib.fx_scan_lines.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64]
+    lib.fx_scan_lines.restype = ctypes.c_int32
+    lib.fx_pack2_lines.argtypes = [_u8p, _i64p, _i64p, _i64p,
+                                   ctypes.c_int64, ctypes.c_int64, _i32p,
+                                   ctypes.c_int, ctypes.c_int, _u8p, _u8p,
+                                   ctypes.c_int]
+    lib.fx_render_fastq_lines.argtypes = [_u8p, _i64p, _i64p, _i64p, _i64p,
+                                          _i64p, _i64p, _i32p,
+                                          ctypes.c_int64, _i64p, _u8p, _u8p,
+                                          ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_uint8, ctypes.c_int]
+    lib.fx_render_fasta_lines.argtypes = [_u8p, _i64p, _i64p, _i64p, _i64p,
+                                          _i32p, ctypes.c_int64, _i64p,
+                                          _u8p, _u8p, ctypes.c_int,
+                                          ctypes.c_int, ctypes.c_uint8,
+                                          ctypes.c_int]
     return lib
 
 
@@ -312,6 +328,83 @@ def stats_lines_q(buf, seq_starts, qual_starts, lens, width: int,
         ptr(lens, _i64p), n, width, q_offset, ptr(out, _i64p), _NT,
     )
     return out
+
+
+def scan_lines(buf, seq_starts, lens) -> tuple:
+    """(pure_acgtn, has_n) over raw sequence line spans, one pass."""
+    flags = int(LIB.fx_scan_lines(ptr(buf, _u8p), ptr(seq_starts, _i64p),
+                                  ptr(lens, _i64p), len(seq_starts)))
+    return bool(flags & 1), bool(flags & 2)
+
+
+def pack2_lines(buf, seq_starts, qual_starts, lens, L: int, q_offset: int,
+                thresholds, include_nplane: bool,
+                b2_out=None, planes_out=None, row0: int = 0):
+    """Fused 2-bit pack straight from line spans — layout-identical to
+    pack2 over the zero-padded [n, L] matrix of the same records.
+    Quality bits compare ASCII bytes against thr + q_offset cutoffs.
+    ``b2_out``/``planes_out``/``row0`` let chunk assemblers pack several
+    span segments into one larger dispatch array."""
+    n = len(seq_starts)
+    thr_bytes = np.asarray([int(t) + q_offset for t in thresholds], np.int32)
+    n_planes = len(thr_bytes) + (1 if include_nplane else 0)
+    w2 = (L + 3) // 4
+    w8 = (L + 7) // 8
+    if b2_out is None:
+        b2_out = np.empty((n, w2), np.uint8)
+        planes_out = np.empty((n, n_planes, w8), np.uint8)
+        row0 = 0
+    b2v = b2_out[row0:row0 + n]
+    pv = planes_out[row0:row0 + n]
+    LIB.fx_pack2_lines(
+        ptr(buf, _u8p), ptr(seq_starts, _i64p), ptr(qual_starts, _i64p),
+        ptr(lens, _i64p), n, L, ptr(thr_bytes, _i32p), len(thr_bytes),
+        1 if include_nplane else 0, ptr(b2v, _u8p), ptr(pv, _u8p), _NT,
+    )
+    return b2_out, planes_out
+
+
+def render_lines(buf, name_starts, name_lens, seq_starts, qual_starts,
+                 name2_starts, name2_lens, new_lens, keep, *,
+                 out_fastq: bool, q_offset: int, mask_thr=None,
+                 mask_char=ord("N"), out=None, out_off=0):
+    """Render FASTA/FASTQ bytes straight from line spans + device
+    decisions (new lengths / keep mask), with the masker's byte edit
+    fused in.  Returns bytes, or the byte count when ``out`` is given."""
+    n = len(seq_starts)
+    new_lens = np.ascontiguousarray(new_lens, np.int32)
+    keep_arr = None
+    nl64 = new_lens.astype(np.int64)
+    if out_fastq:
+        sizes = 6 + name_lens + name2_lens + 2 * nl64
+    else:
+        sizes = 3 + name_lens + nl64
+    if keep is not None:
+        keep_arr = np.ascontiguousarray(keep, np.uint8)
+        sizes = np.where(keep_arr != 0, sizes, 0)
+    rec_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=rec_offs[1:])
+    total = int(rec_offs[-1])
+    bufout, dst = _out_span(total, out, out_off)
+    kp = ptr(keep_arr, _u8p) if keep_arr is not None else None
+    men = 0 if mask_thr is None else 1
+    mthr = 0 if mask_thr is None else int(mask_thr) + q_offset
+    if out_fastq:
+        LIB.fx_render_fastq_lines(
+            ptr(buf, _u8p), ptr(name_starts, _i64p), ptr(name_lens, _i64p),
+            ptr(seq_starts, _i64p), ptr(qual_starts, _i64p),
+            ptr(name2_starts, _i64p), ptr(name2_lens, _i64p),
+            ptr(new_lens, _i32p), n, ptr(rec_offs, _i64p), dst, kp,
+            men, mthr, mask_char, _NT,
+        )
+    else:
+        LIB.fx_render_fasta_lines(
+            ptr(buf, _u8p), ptr(name_starts, _i64p), ptr(name_lens, _i64p),
+            ptr(seq_starts, _i64p), ptr(qual_starts, _i64p),
+            ptr(new_lens, _i32p), n, ptr(rec_offs, _i64p), dst, kp,
+            men, mthr, mask_char, _NT,
+        )
+    return bufout.tobytes() if out is None else total
 
 
 class DedupTable:

@@ -821,3 +821,178 @@ void fx_dedup_insert_lines(void* p, const uint8_t* buf,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Raw-line fast paths for the full preprocessing pipeline: pack the
+// device upload and render the final FASTA/FASTQ bytes straight from the
+// chunk buffer via line spans — no padded matrices, no quality
+// conversion (ASCII qualities compare against byte cutoffs, memcpy back
+// out verbatim).  Used by the headline bench loop and the pipeline CLI.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Alphabet scan over line spans: bit0 = every sequence byte is A/C/G/T/N,
+// bit1 = any 'N'.
+int32_t fx_scan_lines(const uint8_t* buf, const int64_t* seq_starts,
+                      const int64_t* lens, int64_t n) {
+  static bool is_acgtn[256] = {false};
+  static bool init = false;
+  if (!init) {
+    is_acgtn['A'] = is_acgtn['C'] = is_acgtn['G'] = is_acgtn['T'] =
+        is_acgtn['N'] = true;
+    init = true;
+  }
+  bool pure = true, has_n = false;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* p = buf + seq_starts[i];
+    int64_t len = lens[i];
+    for (int64_t j = 0; j < len; j++) {
+      uint8_t b = p[j];
+      pure &= is_acgtn[b];
+      has_n |= (b == 'N');
+    }
+  }
+  return (pure ? 1 : 0) | (has_n ? 2 : 0);
+}
+
+// 2-bit pack from line spans (pure-ACGTN records): layout identical to
+// fx_pack2 over a padded [n, L] matrix whose rows are the spans
+// zero-padded to L.  Quality planes compare the raw ASCII byte against
+// thr_byte[t] (= numeric threshold + q_offset); padding bits are 0.
+// b2/planes point at the destination rows (callers offset for chunk
+// assembly).
+void fx_pack2_lines(const uint8_t* buf, const int64_t* seq_starts,
+                    const int64_t* qual_starts, const int64_t* lens,
+                    int64_t n, int64_t L, const int32_t* thr_byte,
+                    int n_thr, int include_nplane, uint8_t* b2,
+                    uint8_t* planes, int nthreads) {
+  static uint8_t code2[256] = {0};
+  static bool init = false;
+  if (!init) {
+    code2['C'] = 1; code2['G'] = 2; code2['T'] = 3; code2['N'] = 3;
+    init = true;
+  }
+  const int64_t w2 = (L + 3) / 4;
+  const int64_t w8 = (L + 7) / 8;
+  const int64_t n_planes = n_thr + (include_nplane ? 1 : 0);
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      const uint8_t* brow = buf + seq_starts[i];
+      const uint8_t* qrow = buf + qual_starts[i];
+      int64_t len = lens[i];
+      uint8_t* orow = b2 + i * w2;
+      for (int64_t j4 = 0; j4 < w2; j4++) {
+        uint8_t v = 0;
+        int64_t j = j4 * 4;
+        int64_t lim = j + 4 <= len ? 4 : (j < len ? len - j : 0);
+        for (int64_t k = 0; k < lim; k++) v |= code2[brow[j + k]] << (6 - 2 * k);
+        orow[j4] = v;
+      }
+      uint8_t* prow = planes + i * n_planes * w8;
+      int p = 0;
+      if (include_nplane) {
+        for (int64_t j8 = 0; j8 < w8; j8++) {
+          uint8_t v = 0;
+          int64_t j = j8 * 8;
+          int64_t lim = j + 8 <= len ? 8 : (j < len ? len - j : 0);
+          for (int64_t k = 0; k < lim; k++) v |= (brow[j + k] == 'N') << (7 - k);
+          prow[j8] = v;
+        }
+        p = 1;
+      }
+      for (int t = 0; t < n_thr; t++, p++) {
+        int32_t tb = thr_byte[t];
+        uint8_t* pr = prow + p * w8;
+        for (int64_t j8 = 0; j8 < w8; j8++) {
+          uint8_t v = 0;
+          int64_t j = j8 * 8;
+          int64_t lim = j + 8 <= len ? 8 : (j < len ? len - j : 0);
+          for (int64_t k = 0; k < lim; k++) v |= ((int32_t)qrow[j + k] < tb) << (7 - k);
+          pr[j8] = v;
+        }
+      }
+    }
+  });
+}
+
+// Render FASTQ straight from line spans + device decisions.  Per kept
+// record: '@' name '\n' seq[:new_len] (masked) '\n' '+' name2 '\n'
+// qual[:new_len] '\n'; qualities are the original ASCII bytes, masking
+// compares them against mask_thr_byte (numeric threshold + offset).
+// rec_offs are precomputed output offsets (0-sized for dropped rows).
+void fx_render_fastq_lines(const uint8_t* buf, const int64_t* name_starts,
+                           const int64_t* name_lens,
+                           const int64_t* seq_starts,
+                           const int64_t* qual_starts,
+                           const int64_t* name2_starts,
+                           const int64_t* name2_lens,
+                           const int32_t* new_lens, int64_t n,
+                           const int64_t* rec_offs, uint8_t* out,
+                           const uint8_t* keep, int mask_enable,
+                           int mask_thr_byte, uint8_t mask_char,
+                           int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      if (keep && !keep[i]) continue;
+      uint8_t* p = out + rec_offs[i];
+      int64_t len = new_lens[i];
+      *p++ = '@';
+      memcpy(p, buf + name_starts[i], (size_t)name_lens[i]);
+      p += name_lens[i];
+      *p++ = '\n';
+      const uint8_t* sq = buf + seq_starts[i];
+      const uint8_t* ql = buf + qual_starts[i];
+      if (mask_enable) {
+        for (int64_t j = 0; j < len; j++)
+          p[j] = (int32_t)ql[j] < mask_thr_byte ? mask_char : sq[j];
+      } else {
+        memcpy(p, sq, (size_t)len);
+      }
+      p += len;
+      *p++ = '\n';
+      *p++ = '+';
+      memcpy(p, buf + name2_starts[i], (size_t)name2_lens[i]);
+      p += name2_lens[i];
+      *p++ = '\n';
+      memcpy(p, ql, (size_t)len);
+      p += len;
+      *p++ = '\n';
+    }
+  });
+}
+
+// FASTA variant: '>' name '\n' seq[:new_len] (masked) '\n'.
+void fx_render_fasta_lines(const uint8_t* buf, const int64_t* name_starts,
+                           const int64_t* name_lens,
+                           const int64_t* seq_starts,
+                           const int64_t* qual_starts,
+                           const int32_t* new_lens, int64_t n,
+                           const int64_t* rec_offs, uint8_t* out,
+                           const uint8_t* keep, int mask_enable,
+                           int mask_thr_byte, uint8_t mask_char,
+                           int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      if (keep && !keep[i]) continue;
+      uint8_t* p = out + rec_offs[i];
+      int64_t len = new_lens[i];
+      *p++ = '>';
+      memcpy(p, buf + name_starts[i], (size_t)name_lens[i]);
+      p += name_lens[i];
+      *p++ = '\n';
+      const uint8_t* sq = buf + seq_starts[i];
+      if (mask_enable) {
+        const uint8_t* ql = buf + qual_starts[i];
+        for (int64_t j = 0; j < len; j++)
+          p[j] = (int32_t)ql[j] < mask_thr_byte ? mask_char : sq[j];
+      } else {
+        memcpy(p, sq, (size_t)len);
+      }
+      p += len;
+      *p++ = '\n';
+    }
+  });
+}
+
+}  // extern "C"
