@@ -1456,20 +1456,45 @@ def host_only():
 
 
 def scaling(n_procs: int = 2):
-    """Multi-host scaling efficiency on this machine: run
-    fastx_quality_stats over the lane as 1 process and as N cooperating
-    processes (fastx_pod, CPU backend so both sides use the same compute
-    and the one TPU chip is not a shared bottleneck), byte-verify the
-    merged output, and report T1/(N*TN).
+    """Multi-host scaling efficiency on this machine: run a tool over the
+    lane as 1 process and as N cooperating processes (fastx_pod, CPU
+    backend so both sides use the same compute and the one TPU chip is
+    not a shared bottleneck), byte-verify the merged output, and report
+    median T1/(N*TN) over >= 5 repeats.
+
+    FASTX_SCALING_WORKLOAD picks the workload:
+      stats (default) — fastx_quality_stats; with the host engine this is
+        memory-BANDWIDTH-bound on this VM (a single process already
+        saturates the bus), so its efficiency reading bounds the bus
+        share, not the front-end overhead.
+      pipeline — the fused headline chain (quality filter | clipper |
+        artifacts) whose per-read DP makes it compute-bound; this
+        isolates the distributed front-end (sharded reads + collective
+        merges), which is what the >= 90%% target is about.
 
     `python bench.py --scaling [--procs N]`"""
     import shutil
     import subprocess
 
+    workload = os.environ.get("FASTX_SCALING_WORKLOAD", "stats")
     lane = "/tmp/fastx_bench_lane_%d.fastq" % N_READS
     if not os.path.exists(lane):
         with open(lane, "wb") as fh:
             fh.write(synth_lane_bytes(N_READS, READ_LEN))
+
+    _CHAIN = ("fastq_quality_filter -q 20 -p 50 | "
+              "fastx_clipper -a CTGTAGGCACCATCAAT -n -l 15 | "
+              "fastx_artifacts_filter")
+    lane_ref = [lane]  # scaling_slope() swaps in the half-size lane
+
+    def tool_argv():
+        if workload == "pipeline":
+            return ["fastx_pipeline", "-Q", "33", "-i", lane_ref[0], _CHAIN]
+        return ["fastx_quality_stats", "-Q", "33", "-i", lane_ref[0]]
+
+    tool_module = ("fastx_toolkit_tpu.cli.tools.fastx_pipeline"
+                   if workload == "pipeline"
+                   else "fastx_toolkit_tpu.cli.tools.fastx_quality_stats")
 
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/.axon_site:/root/repo"
@@ -1492,8 +1517,11 @@ def scaling(n_procs: int = 2):
     pin = shutil.which("taskset") is not None
 
     def run_single(out):
-        argv = [sys.executable, "-m", "fastx_toolkit_tpu.cli.tools.fastx_quality_stats",
-                "-Q", "33", "-i", lane, "-o", out]
+        ta = tool_argv()
+        flags = ta[1:-1] if workload == "pipeline" else ta[1:]
+        argv = [sys.executable, "-m", tool_module, *flags, "-o", out]
+        if workload == "pipeline":
+            argv.append(_CHAIN)
         if pin:
             argv = ["taskset", "-c", "0", *argv]
         t0 = time.perf_counter()
@@ -1505,7 +1533,11 @@ def scaling(n_procs: int = 2):
                 str(n_procs), "--cpu"]
         if pin:
             argv += ["--pin-cores"]
-        argv += ["--", "fastx_quality_stats", "-Q", "33", "-i", lane, "-o", out]
+        ta = tool_argv()
+        argv += ["--", *(ta[:-1] if workload == "pipeline" else ta),
+                 "-o", out]
+        if workload == "pipeline":
+            argv.append(_CHAIN)
         t0 = time.perf_counter()
         subprocess.run(argv, check=True, env=env, cwd="/root/repo")
         return time.perf_counter() - t0
@@ -1525,13 +1557,27 @@ def scaling(n_procs: int = 2):
     # item #6: a >1.0 reading is a measurement artifact by construction
     # and must not be published)
     reps = int(os.environ.get("FASTX_BENCH_SCALE_REPS", 5))
+    slope_mode = bool(os.environ.get("FASTX_SCALING_SLOPE"))
+    if slope_mode:
+        scaling_slope(n_procs, workload, reps, lane, lane_ref,
+                      run_single, run_pod)
+        return
     run_single("/tmp/scale_1.out")
     t1s = sorted(run_single("/tmp/scale_1.out") for _ in range(reps))
     run_pod("/tmp/scale_n.out")
     tns = sorted(run_pod("/tmp/scale_n.out") for _ in range(reps))
     startup = min(measure_startup() for _ in range(3))
-    with open("/tmp/scale_1.out", "rb") as f1, open("/tmp/scale_n.out", "rb") as fn_:
-        assert f1.read() == fn_.read(), "merged multi-process output differs!"
+    single_bytes = open("/tmp/scale_1.out", "rb").read()
+    if workload == "pipeline":
+        # per-read tools write FILE.shard-<k>-of-<n>; in-order concat ==
+        # the single-process output
+        import glob
+
+        shards = sorted(glob.glob("/tmp/scale_n.out.shard-*"))
+        pod_bytes = b"".join(open(p, "rb").read() for p in shards)
+    else:
+        pod_bytes = open("/tmp/scale_n.out", "rb").read()
+    assert single_bytes == pod_bytes, "merged multi-process output differs!"
 
     def median(xs):
         return xs[len(xs) // 2] if len(xs) % 2 else 0.5 * (
@@ -1547,7 +1593,7 @@ def scaling(n_procs: int = 2):
     eff_work = (t1 - startup) / (n_procs * (tn - startup))
     oversub = n_procs > os.cpu_count()
     print(json.dumps({
-        "metric": "multihost_scaling_efficiency_stats_%dproc" % n_procs,
+        "metric": "multihost_scaling_efficiency_%s_%dproc" % (workload, n_procs),
         "value": round(eff_work, 3),
         "unit": "median T1/(N*TN), python+jax startup excluded",
         "raw_wallclock_efficiency": round(eff, 3),
@@ -1563,6 +1609,67 @@ def scaling(n_procs: int = 2):
                 " merged output byte-identical to single-process"
                 + ("; N > cores: processes share cores, efficiency is"
                    " core-bound, not front-end-bound" if oversub else ""),
+    }))
+
+
+def scaling_slope(n_procs, workload, reps, big_lane, lane_ref,
+                  run_single, run_pod):
+    """Marginal-throughput scaling efficiency (FASTX_SCALING_SLOPE=1).
+
+    Per-process fixed costs — interpreter+jax import, jax.distributed
+    init, per-shape jit compiles — are seconds each and do not shrink
+    with the lane, so a plain T1/(N*TN) on lanes this host can process in
+    under a minute under-reports the front-end's true efficiency (on a
+    real pod those costs amortize over hours).  The slope method cancels
+    every fixed cost exactly: run each configuration at N_READS and
+    N_READS/2 reads and compare MARGINAL times,
+
+        eff = (T1(big) - T1(small)) / (N * (TN(big) - TN(small))).
+
+    Medians over `reps` repeats per point; the small lane is generated
+    once next to the big one.
+    """
+    small_n = N_READS // 2
+    small_lane = "/tmp/fastx_bench_lane_%d.fastq" % small_n
+    if not os.path.exists(small_lane):
+        with open(small_lane, "wb") as fh:
+            fh.write(synth_lane_bytes(small_n, READ_LEN))
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if len(xs) % 2 else 0.5 * (
+            xs[len(xs) // 2 - 1] + xs[len(xs) // 2]
+        )
+
+    results = {}
+    for tag, lane_path in (("big", big_lane), ("small", small_lane)):
+        lane_ref[0] = lane_path
+        run_single("/tmp/scale_1.out")  # warm
+        results["t1_" + tag] = median(
+            [run_single("/tmp/scale_1.out") for _ in range(reps)]
+        )
+        run_pod("/tmp/scale_n.out")
+        results["tn_" + tag] = median(
+            [run_pod("/tmp/scale_n.out") for _ in range(reps)]
+        )
+    d1 = results["t1_big"] - results["t1_small"]
+    dn = results["tn_big"] - results["tn_small"]
+    eff = d1 / (n_procs * dn) if dn > 0 else float("nan")
+    print(json.dumps({
+        "metric": "multihost_scaling_efficiency_%s_%dproc_marginal" % (
+            workload, n_procs),
+        "value": round(eff, 3),
+        "unit": "marginal T1/(N*TN) between %d and %d reads" % (
+            N_READS, N_READS // 2),
+        "t1_sec_medians": [round(results["t1_small"], 2),
+                           round(results["t1_big"], 2)],
+        "tn_sec_medians": [round(results["tn_small"], 2),
+                           round(results["tn_big"], 2)],
+        "repeats_per_point": reps,
+        "host_cores": os.cpu_count(),
+        "note": "slope cancels per-process fixed costs (imports, "
+                "distributed init, jit compiles) that a real pod job "
+                "amortizes; outputs byte-verified by the non-slope mode",
     }))
 
 
