@@ -44,6 +44,42 @@ def in_out_report(rep, n_in: int, n_out: int):
     rep.write("Output: %d reads.\n" % n_out)
 
 
+def line_fast_path(reader, args):
+    """Raw-line fast-path gate for a per-read FASTQ tool: returns a
+    callable ``attempt(chunk)`` -> FastqFrame or None (fall back to the
+    full parser), or None when the environment can't support the fast
+    path at all (no native library, or FASTX_TPU_NO_LINEPATH=1).
+
+    A frame is returned only for clean ASCII-quality FASTQ chunks whose
+    bytes pass the reference's validation — anything else (numeric
+    qualities, framing or byte errors) must go through
+    ``reader.parse_chunk`` so the error text matches the reference
+    byte for byte (fastx.c:314-404)."""
+    import os as _os
+
+    from ...core import codec as _codec
+    from ...core import native as _native
+
+    if _native.LIB is None or _os.environ.get("FASTX_TPU_NO_LINEPATH"):
+        return None
+    allowed = _codec.allowed_table_u8(reader.allow_n, reader.allow_u, False)
+
+    def attempt(chunk):
+        if not reader.is_fastq:
+            return None
+        fr = _codec.frame_fastq_fast(chunk)
+        if fr is None:
+            return None
+        if _native.validate_records(
+            fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts, allowed,
+            args.q_offset,
+        ) != -1:
+            return None
+        return fr
+
+    return attempt
+
+
 def prefetch_iter(it, depth: int = 2):
     """Run a generator on a background thread with a bounded queue so the
     producer (chunk framing / parsing) overlaps the consumer's native

@@ -56,7 +56,27 @@ def tool_main(ctx: CliContext, argv) -> int:
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
     writer = common.OutputWriter(ctx, args)
     n_in = masked_reads = masked_nucs_total = 0
-    for batch in reader:
+    fast = _shared.line_fast_path(reader, args)
+    for chunk, line_base in reader.iter_chunks():
+        fr = fast(chunk) if fast is not None else None
+        if fr is not None:
+            from ...core import native
+
+            _nl, _k, masked = native.quality_decide(
+                fr.buf, fr.qual_starts, fr.seq_lens, args.q_offset,
+                mask_q=st["q"],
+            )
+            n_in += len(fr)
+            masked_reads += int((masked > 0).sum())
+            masked_nucs_total += int(masked.sum())
+            writer.write(native.render_lines(
+                fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
+                fr.qual_starts, fr.name2_starts, fr.name2_lens,
+                fr.seq_lens, None, out_fastq=True, q_offset=args.q_offset,
+                mask_thr=st["q"], mask_char=ord(st["r"]),
+            ))
+            continue
+        batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)
         b2, masked_any, masked_nucs = _mask_jit(
             bases, quals, lengths, threshold=st["q"], mask_char=ord(st["r"])

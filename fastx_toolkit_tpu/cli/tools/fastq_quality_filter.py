@@ -55,7 +55,27 @@ def tool_main(ctx: CliContext, argv) -> int:
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
     writer = common.OutputWriter(ctx, args)
     n_in = n_out = 0
-    for batch in reader:
+    fast = _shared.line_fast_path(reader, args)
+    for chunk, line_base in reader.iter_chunks():
+        fr = fast(chunk) if fast is not None else None
+        if fr is not None:
+            # raw-line fast path: decide + render from the line spans
+            # (native/fastx_codec.cpp); FASTQ multiplicity is always 1
+            from ...core import native
+
+            _nl, keep, _m = native.quality_decide(
+                fr.buf, fr.qual_starts, fr.seq_lens, args.q_offset,
+                filter_q=st["q"], filter_p=st["p"],
+            )
+            n_in += len(fr)
+            n_out += int(keep.sum())
+            writer.write(native.render_lines(
+                fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
+                fr.qual_starts, fr.name2_starts, fr.name2_lens,
+                fr.seq_lens, keep, out_fastq=True, q_offset=args.q_offset,
+            ))
+            continue
+        batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)
         keep = np.asarray(
             _keep_jit(quals, lengths, min_quality=st["q"], min_percent=st["p"])

@@ -58,7 +58,25 @@ def tool_main(ctx: CliContext, argv) -> int:
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTQ_ONLY)
     writer = common.OutputWriter(ctx, args)
     n_in = n_out = 0
-    for batch in reader:
+    fast = _shared.line_fast_path(reader, args)
+    for chunk, line_base in reader.iter_chunks():
+        fr = fast(chunk) if fast is not None else None
+        if fr is not None:
+            from ...core import native
+
+            new_lens, keep, _m = native.quality_decide(
+                fr.buf, fr.qual_starts, fr.seq_lens, args.q_offset,
+                trim_q=st["t"], trim_minlen=st["l"],
+            )
+            n_in += len(fr)
+            n_out += int(keep.sum())
+            writer.write(native.render_lines(
+                fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
+                fr.qual_starts, fr.name2_starts, fr.name2_lens,
+                new_lens, keep, out_fastq=True, q_offset=args.q_offset,
+            ))
+            continue
+        batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)
         b2, q2, l2, keep = _trim_jit(
             bases, quals, lengths, threshold=st["t"], min_len=st["l"]

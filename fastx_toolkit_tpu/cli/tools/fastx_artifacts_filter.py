@@ -41,7 +41,22 @@ def tool_main(ctx: CliContext, argv) -> int:
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
     writer = common.OutputWriter(ctx, args)
     n_in = n_out = 0
-    for batch in reader:
+    fast = _shared.line_fast_path(reader, args)
+    for chunk, line_base in reader.iter_chunks():
+        fr = fast(chunk) if fast is not None else None
+        if fr is not None:
+            from ...core import native
+
+            keep = native.artifacts_rows(fr.buf, fr.seq_starts, fr.seq_lens)
+            n_in += len(fr)
+            n_out += int(keep.sum())
+            writer.write(native.render_lines(
+                fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
+                fr.qual_starts, fr.name2_starts, fr.name2_lens,
+                fr.seq_lens, keep, out_fastq=True, q_offset=args.q_offset,
+            ))
+            continue
+        batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)
         keep = np.asarray(_keep_jit(bases, lengths))[:nb]
         out = batch.select(keep)

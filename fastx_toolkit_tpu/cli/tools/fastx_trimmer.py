@@ -77,7 +77,39 @@ def tool_main(ctx: CliContext, argv) -> int:
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
     writer = common.OutputWriter(ctx, args)
     n_in = n_out = 0
-    for batch in reader:
+    fast = _shared.line_fast_path(reader, args)
+    for chunk, line_base in reader.iter_chunks():
+        fr = fast(chunk) if fast is not None else None
+        if fr is not None:
+            # raw-line fast path: positional trims are span arithmetic —
+            # -f shifts both the sequence and quality spans, -l/-t adjust
+            # lengths (exact transforms.trimmer semantics)
+            from ...core import native
+
+            nl = fr.seq_lens.copy()
+            keep = np.ones(len(fr), bool)
+            if st["last"] != 0:
+                np.minimum(nl, st["last"], out=nl)
+            off = st["first"] - 1
+            if off:
+                keep &= nl >= st["first"]
+                nl = nl - off
+            if st["trim_end"] > 0:
+                keep &= nl > st["trim_end"]
+                nl = nl - st["trim_end"]
+                keep &= nl >= st["min_len"]
+            nl = np.where(keep, np.maximum(nl, 0), 0)
+            n_in += len(fr)
+            n_out += int(keep.sum())
+            writer.write(native.render_lines(
+                fr.buf, fr.name_starts, fr.name_lens,
+                fr.seq_starts + off, fr.qual_starts + off,
+                fr.name2_starts, fr.name2_lens,
+                nl, keep.astype(np.uint8), out_fastq=True,
+                q_offset=args.q_offset,
+            ))
+            continue
+        batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)
         b2, q2, l2, keep = _trim_jit(
             bases, quals, lengths,

@@ -122,6 +122,16 @@ def _load():
                                           _u8p, _u8p, ctypes.c_int,
                                           ctypes.c_int, ctypes.c_uint8,
                                           ctypes.c_int]
+    lib.fx_quality_decide.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int64,
+                                      ctypes.c_int, _i32p, _u8p, _i64p,
+                                      ctypes.c_int]
+    lib.fx_rows_with_n.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                   _u8p, ctypes.c_int]
+    lib.fx_artifacts_rows.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
+                                      _u8p, ctypes.c_int]
     return lib
 
 
@@ -405,6 +415,46 @@ def render_lines(buf, name_starts, name_lens, seq_starts, qual_starts,
             men, mthr, mask_char, _NT,
         )
     return bufout.tobytes() if out is None else total
+
+
+def quality_decide(buf, qual_starts, lens, q_offset: int, *,
+                   filter_q=None, filter_p=None, trim_q=None,
+                   trim_minlen=0, mask_q=None):
+    """Quality-family decisions from raw ASCII quality spans:
+    -> (new_lens int32, keep uint8, masked int64 or None)."""
+    n = len(qual_starts)
+    new_lens = np.empty(n, np.int32)
+    keep = np.empty(n, np.uint8)
+    masked = np.empty(n, np.int64) if mask_q is not None else None
+    LIB.fx_quality_decide(
+        ptr(buf, _u8p), ptr(qual_starts, _i64p), ptr(lens, _i64p), n,
+        1 if filter_q is not None else 0,
+        (int(filter_q) + q_offset) if filter_q is not None else 0,
+        int(filter_p) if filter_p is not None else 0,
+        1 if trim_q is not None else 0,
+        (int(trim_q) + q_offset) if trim_q is not None else 0,
+        int(trim_minlen),
+        (int(mask_q) + q_offset) if mask_q is not None else 0,
+        ptr(new_lens, _i32p), ptr(keep, _u8p),
+        ptr(masked, _i64p) if masked is not None else None, _NT,
+    )
+    return new_lens, keep, masked
+
+
+def rows_with_n(buf, seq_starts, lens) -> np.ndarray:
+    n = len(seq_starts)
+    out = np.empty(n, np.uint8)
+    LIB.fx_rows_with_n(ptr(buf, _u8p), ptr(seq_starts, _i64p),
+                       ptr(lens, _i64p), n, ptr(out, _u8p), _NT)
+    return out
+
+
+def artifacts_rows(buf, seq_starts, lens) -> np.ndarray:
+    n = len(seq_starts)
+    out = np.empty(n, np.uint8)
+    LIB.fx_artifacts_rows(ptr(buf, _u8p), ptr(seq_starts, _i64p),
+                          ptr(lens, _i64p), n, ptr(out, _u8p), _NT)
+    return out
 
 
 class DedupTable:

@@ -996,3 +996,97 @@ void fx_render_fasta_lines(const uint8_t* buf, const int64_t* name_starts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-record decision kernels over raw line spans: the quality-family
+// filters (fastq_quality_filter / fastq_quality_trimmer / fastq_masker
+// tallies), N detection (fastq_to_fasta) and the artifacts rule — the
+// tool CLIs' raw-line fast paths call these instead of building padded
+// matrices and converting qualities.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Quality decisions from ASCII quality lines.  Cutoffs are in BYTE
+// space (numeric threshold + offset).  Per record:
+//  * do_filter: keep iff |{q < f_cut}| <= len*(100-p)/100 (the
+//    reference's percentile-by-counting-sort reformulated as an order
+//    statistic, fastq_quality_filter.c:78-129)
+//  * do_trim: truncate the 3' run of q < t_cut; keep iff the result is
+//    non-empty and >= trim_minlen (fastq_quality_trimmer.c:93-102)
+//  * masked != NULL: masked[i] = |{q < m_cut}| within the (possibly
+//    trimmed) length (fastq_masker tallies)
+void fx_quality_decide(const uint8_t* buf, const int64_t* qual_starts,
+                       const int64_t* lens, int64_t n, int do_filter,
+                       int f_cut_byte, int f_percent, int do_trim,
+                       int t_cut_byte, int64_t trim_minlen, int m_cut_byte,
+                       int32_t* new_lens, uint8_t* keep, int64_t* masked,
+                       int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      const uint8_t* q = buf + qual_starts[i];
+      int64_t len = lens[i];
+      bool k = true;
+      if (do_filter) {
+        int64_t below = 0;
+        for (int64_t j = 0; j < len; j++) below += (int32_t)q[j] < f_cut_byte;
+        k &= below <= len * (100 - f_percent) / 100;
+      }
+      int64_t nl = len;
+      if (do_trim) {
+        while (nl > 0 && (int32_t)q[nl - 1] < t_cut_byte) nl--;
+        k &= nl > 0 && nl >= trim_minlen;
+      }
+      if (masked) {
+        int64_t m = 0;
+        for (int64_t j = 0; j < nl; j++) m += (int32_t)q[j] < m_cut_byte;
+        masked[i] = m;
+      }
+      new_lens[i] = (int32_t)nl;
+      keep[i] = k ? 1 : 0;
+    }
+  });
+}
+
+// Per-record 'N' presence (fastq_to_fasta.c:81-82 strchr semantics:
+// uppercase N only, matching ops/transforms.contains_n).
+void fx_rows_with_n(const uint8_t* buf, const int64_t* seq_starts,
+                    const int64_t* lens, int64_t n, uint8_t* has_n,
+                    int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      const uint8_t* p = buf + seq_starts[i];
+      int64_t len = lens[i];
+      uint8_t h = 0;
+      for (int64_t j = 0; j < len; j++) h |= (p[j] == 'N');
+      has_n[i] = h;
+    }
+  });
+}
+
+// Artifacts rule (fastx_artifacts_filter.c:56-112): discard iff any
+// single A/C/G/T letter covers all but <= 3 positions.
+void fx_artifacts_rows(const uint8_t* buf, const int64_t* seq_starts,
+                       const int64_t* lens, int64_t n, uint8_t* keep,
+                       int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      const uint8_t* p = buf + seq_starts[i];
+      int64_t len = lens[i];
+      int64_t a = 0, c = 0, g = 0, t = 0;
+      for (int64_t j = 0; j < len; j++) {
+        uint8_t b = p[j];
+        a += b == 'A';
+        c += b == 'C';
+        g += b == 'G';
+        t += b == 'T';
+      }
+      int64_t worst = a > c ? a : c;
+      if (g > worst) worst = g;
+      if (t > worst) worst = t;
+      keep[i] = worst >= len - 3 ? 0 : 1;
+    }
+  });
+}
+
+}  // extern "C"

@@ -219,3 +219,40 @@ def test_rank_count_column_matches_python():
         assert flat.tobytes() == want
         lens = [len(b"%d-%d" % (r + 1, c)) for r, c in enumerate(counts.tolist())]
         assert np.array_equal(np.diff(offs), np.array(lens, np.int64))
+
+
+@pytest.mark.parametrize("tool,flags", [
+    ("fastq_quality_filter", ["-q", "20", "-p", "50"]),
+    ("fastq_quality_filter", ["-q", "35", "-p", "100"]),
+    ("fastq_quality_trimmer", ["-t", "20"]),
+    ("fastq_quality_trimmer", ["-t", "30", "-l", "16"]),
+    ("fastq_masker", ["-q", "25"]),
+    ("fastq_masker", ["-q", "25", "-r", "x"]),
+    ("fastx_trimmer", ["-l", "20"]),
+    ("fastx_trimmer", ["-f", "5", "-l", "18"]),
+    ("fastx_trimmer", ["-t", "3", "-m", "10"]),
+    ("fastq_to_fasta", []),
+    ("fastq_to_fasta", ["-n"]),
+    ("fastx_artifacts_filter", []),
+])
+def test_cli_line_fast_path_matches_classic(tool, flags, monkeypatch):
+    """Every converted per-read tool must produce byte-identical output
+    and -v report on the raw-line fast path and the classic parser."""
+    import importlib
+
+    import util
+
+    mod = importlib.import_module("fastx_toolkit_tpu.cli.tools." + tool)
+    rng = np.random.default_rng(int(np.sum([ord(c) for c in tool])) + len(flags))
+    data = _fastq_bytes(rng, 300, L=28)
+    # spike an artifact-ish homopolymer read and an N-heavy read
+    data += b"@art\n" + b"A" * 25 + b"CG\n+\n" + b"I" * 27 + b"\n"
+    data += b"@enn\nNNNNANNNN\n+\nIIIIIIIII\n"
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    fastr = util.run_tool(mod, ["-Q", "33", "-v", *flags], stdin=data)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    classic = util.run_tool(mod, ["-Q", "33", "-v", *flags], stdin=data)
+    assert fastr.status == classic.status == 0, (fastr.stderr, classic.stderr)
+    assert fastr.stdout == classic.stdout
+    assert fastr.report == classic.report
+    assert fastr.stderr == classic.stderr
