@@ -340,239 +340,48 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
     return n_total, out_pos
 
 
-class _LineFallback(Exception):
-    """Raised when a lane needs the classic padded-matrix path."""
-
-
-def run_once_lines(data: bytes, fns, cfg, arena, *,
-                   out_fastq: bool = True) -> tuple[int, int]:
-    """run_once on the raw-line fast path: frame + validate each chunk's
-    line spans, pack the device upload straight from the spans
-    (fx_pack2_lines), and render the output from the spans + device
-    decisions (fx_render_*_lines) — the padded [B, L] base/quality
-    matrices are never built.  Raises _LineFallback when the lane needs
-    the full parser (numeric quals, non-ACGTN bytes, framing errors);
-    callers rerun with run_once."""
+def run_once_auto(data: bytes, engines, cfg, arena, *,
+                  out_fastq: bool = True) -> tuple[int, int]:
+    """The package's raw-line streaming engine
+    (fastx_toolkit_tpu.engine.lines.stream_pipeline_lines): frame +
+    validate line spans, pack the 2-bit upload straight from them,
+    render from spans + device decisions, with per-chunk classic
+    fallback — bench measures library code, not a bench-local loop.
+    ``engines`` is a LineEngines (or stub duck-type) reused across
+    iterations so jitted programs are traced once."""
     import io
-    import queue
-    import threading
     from types import SimpleNamespace
 
     from fastx_toolkit_tpu.cli.tools._shared import BatchReader
     from fastx_toolkit_tpu.core import codec, native
-    from fastx_toolkit_tpu.engine.pipeline import _thresholds
+    from fastx_toolkit_tpu.engine.lines import stream_pipeline_lines
 
     if native.LIB is None:
-        raise _LineFallback("native codec unavailable")
-    thresholds = _thresholds(cfg)
-    allowed = codec.allowed_table_u8()
+        raise RuntimeError("bench requires the native codec library")
     args = SimpleNamespace(input_filename="<bench>", q_offset=33)
     reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
                          block_bytes=BLOCK_BYTES, stream=io.BytesIO(data))
-
-    waterfall = os.environ.get("FASTX_BENCH_WATERFALL")
-    wf = {"frame": 0.0, "validate+scan": 0.0, "pack+dispatch": 0.0,
-          "drain(link)": 0.0, "render": 0.0}
-
-    def timed(leg, f, *a):
-        if not waterfall:
-            return f(*a)
-        t0 = time.perf_counter()
-        r = f(*a)
-        wf[leg] += time.perf_counter() - t0
-        return r
-
-    blocks_q: "queue.Queue" = queue.Queue()
-    futs_q: "queue.Queue" = queue.Queue(maxsize=32)
-    err = []
-    inflight_max = int(os.environ.get("FASTX_BENCH_INFLIGHT", 2))
-    inflight_q: "queue.Queue" = queue.Queue(maxsize=max(1, inflight_max - 1))
-    fn2_clean, fn2, fn4 = fns
-
-    def drain():
-        try:
-            while True:
-                item = inflight_q.get()
-                if item is None:
-                    break
-                nrows, fut = item
-                futs_q.put((nrows, timed("drain(link)", np.asarray, fut[0]),
-                            np.asarray(fut[1])))
-        except BaseException as e:
-            err.append(e)
-        finally:
-            futs_q.put(None)
-
-    def produce():
-        segs = []  # (frame, row_lo, row_hi) awaiting a full dispatch chunk
-        pend = 0
-        any_n = False
-
-        def flush(rows, pad_rows=0):
-            """Pack `rows` rows from the leading segments into one
-            dispatch chunk and ship it."""
-            nonlocal segs, any_n
-            take, got = [], 0
-            while got < rows:
-                fr, lo, hi = segs[0]
-                need = rows - got
-                if hi - lo <= need:
-                    take.append(segs.pop(0))
-                    got += hi - lo
-                else:
-                    take.append((fr, lo, lo + need))
-                    segs[0] = (fr, lo + need, hi)
-                    got = rows
-            W = max(int(fr.seq_lens[lo:hi].max()) if hi > lo else 1
-                    for fr, lo, hi in take)
-            B = rows + pad_rows
-            n_planes = len(thresholds) + (1 if any_n else 0)
-            b2 = np.zeros((B, (W + 3) // 4), np.uint8)
-            planes = np.zeros((B, n_planes, (W + 7) // 8), np.uint8)
-            lengths = np.zeros(B, np.int16)
-            r0 = 0
-            for fr, lo, hi in take:
-                nseg = hi - lo
-                native.pack2_lines(
-                    fr.buf, fr.seq_starts[lo:hi], fr.qual_starts[lo:hi],
-                    fr.seq_lens[lo:hi], W, 33, thresholds, any_n,
-                    b2_out=b2, planes_out=planes, row0=r0,
-                )
-                lengths[r0:r0 + nseg] = fr.seq_lens[lo:hi]
-                r0 += nseg
-            fn = fn2 if any_n else fn2_clean
-            inflight_q.put((rows, fn(b2, planes, lengths)))
-
-        try:
-            for chunk, line_base in reader.iter_chunks():
-                fr = timed("frame", codec.frame_fastq_fast, chunk)
-                if fr is None:
-                    raise _LineFallback("chunk needs the full parser")
-
-                def _vs():
-                    bad = native.validate_records(
-                        fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts,
-                        allowed, 33,
-                    )
-                    if bad != -1:
-                        raise _LineFallback("validation fallback")
-                    return native.scan_lines(
-                        fr.buf, fr.seq_starts, fr.seq_lens
-                    )
-                pure, has_n = timed("validate+scan", _vs)
-                if not pure:
-                    raise _LineFallback("non-ACGTN chunk")
-                if has_n and not any_n and pend:
-                    # planes layout changes mid-stream: flush what we
-                    # have (padded to CHUNK so the compiled shape is
-                    # reused)
-                    timed("pack+dispatch", flush, pend, CHUNK - pend)
-                    pend = 0
-                any_n = any_n or has_n
-                blocks_q.put(fr)
-                segs.append((fr, 0, len(fr)))
-                pend += len(fr)
-                while pend >= CHUNK:
-                    pend -= CHUNK
-                    timed("pack+dispatch", flush, CHUNK)
-            if pend:
-                timed("pack+dispatch", flush, pend, CHUNK - pend)
-        except BaseException as e:
-            err.append(e)
-        finally:
-            blocks_q.put(None)
-            inflight_q.put(None)
-
-    t = threading.Thread(target=produce, daemon=True)
-    t.start()
-    t_drain = threading.Thread(target=drain, daemon=True)
-    t_drain.start()
-
-    n_total = 0
-    out_pos = 0
-    cur = None  # [frame, new_len buf, keep buf, fill pos]
-    spill_len = spill_keep = None
-
-    def next_block():
-        nonlocal cur, spill_len, spill_keep
-        b = blocks_q.get()
-        if b is None:
-            cur = None
-            return False
-        n = len(b)
-        cur = [b, np.empty(n, np.int32), np.empty(n, bool), 0]
-        if spill_len is not None:
-            take = min(len(spill_len), n)
-            cur[1][:take] = spill_len[:take]
-            cur[2][:take] = spill_keep[:take]
-            cur[3] = take
-            spill_len = spill_len[take:] if take < len(spill_len) else None
-            spill_keep = spill_keep[take:] if spill_len is not None else None
-        return True
-
-    def flush_if_done():
-        nonlocal cur, n_total, out_pos
-        while cur is not None and cur[3] == len(cur[0]):
-            fr, new_len, keep, _ = cur
-            out_pos += timed(
-                "render", lambda: native.render_lines(
-                    fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
-                    fr.qual_starts, fr.name2_starts, fr.name2_lens,
-                    new_len, keep, out_fastq=out_fastq, q_offset=33,
-                    mask_thr=cfg.mask_q if cfg.with_mask else None,
-                    out=arena, out_off=out_pos,
-                )
-            )
-            n_total += len(fr)
-            if not next_block():
-                break
-
-    if not next_block():
-        t.join()
-        t_drain.join()
-        if err:
-            raise err[0]
-        return 0, 0
-    while True:
-        item = futs_q.get()
-        if item is None:
-            break
-        nrows, l, k = item
-        dlen = l[:nrows]
-        dkeep = k[:nrows]
-        pos = 0
-        while pos < nrows and cur is not None:
-            room = len(cur[0]) - cur[3]
-            take = min(room, nrows - pos)
-            cur[1][cur[3]:cur[3] + take] = dlen[pos:pos + take]
-            cur[2][cur[3]:cur[3] + take] = dkeep[pos:pos + take]
-            cur[3] += take
-            pos += take
-            flush_if_done()
-        if pos < nrows:
-            spill_len = dlen[pos:]
-            spill_keep = dkeep[pos:]
-    t.join()
-    t_drain.join()
-    if err:
-        raise err[0]
-    if waterfall:
-        print(
-            "waterfall(lines): "
-            + "  ".join("%s=%.3fs" % (k, v) for k, v in wf.items())
-            + "  (frame/validate/pack on producer, drain on drainer, "
-            "render on main)",
-            file=sys.stderr,
-        )
-    return n_total, out_pos
+    n_in, _n_out, nbytes = stream_pipeline_lines(
+        reader, cfg, out_fastq=out_fastq, q_offset=33, write=None,
+        arena=arena, chunk_rows=CHUNK, engines=engines,
+    )
+    return n_in, nbytes
 
 
-def run_once_auto(data, fns, cfg, arena, *, out_fastq: bool = True):
-    """run_once_lines with transparent fallback to the classic path."""
-    try:
-        return run_once_lines(data, fns, cfg, arena, out_fastq=out_fastq)
-    except _LineFallback:
-        return run_once(data, fns, cfg, arena, out_fastq=out_fastq)
+class StubEngines:
+    """Device stub for --host: identity decisions, zero device work."""
+
+    def fn2(self, has_n):
+        def stub(b2, planes, lengths):
+            lens = np.asarray(lengths, np.int32)
+            return lens, np.ones(len(lens), bool)
+        return stub
+
+    def unpacked(self):
+        def stub(bases, quals, lengths, counts):
+            lens = np.asarray(lengths, np.int32)
+            return lens, np.ones(len(lens), bool), None
+        return stub
 
 
 # ---------------------------------------------------------------------------
@@ -656,15 +465,12 @@ def emit(config_n: int, rps: float, suffix: str = ""):
 
 def run_config_pipeline(config_n: int):
     """End-to-end measurement for the decision-pipeline configs 0/1/2/4:
-    parse -> packed upload -> fused device step -> native render."""
-    from fastx_toolkit_tpu.engine.pipeline import packed_decisions_pipeline
+    the package streaming engine (frame -> packed upload -> fused device
+    step -> span-native render)."""
+    from fastx_toolkit_tpu.engine.lines import LineEngines
 
     cfg, out_fastq = config_cfg(config_n)
-    fns = (
-        packed_decisions_pipeline(cfg, two_bit=True, has_n_plane=False),
-        packed_decisions_pipeline(cfg, two_bit=True),
-        packed_decisions_pipeline(cfg),
-    )
+    eng = LineEngines(cfg)
     n_reads = CONFIG_READS.get(config_n, N_READS)
     data = synth_lane_bytes(n_reads, READ_LEN)
     print("config %d lane: %d reads, %d bytes" % (config_n, n_reads, len(data)),
@@ -672,13 +478,13 @@ def run_config_pipeline(config_n: int):
     arena = np.empty(len(data) + (1 << 20), np.uint8)
     arena[::4096] = 0
     t0 = time.perf_counter()
-    run_once_auto(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena,
+    run_once_auto(synth_lane_bytes(2048, READ_LEN, seed=7), eng, cfg, arena,
                   out_fastq=out_fastq)
     print("warmup %.1fs" % (time.perf_counter() - t0), file=sys.stderr)
     times = []
     for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
         t0 = time.perf_counter()
-        n, nbytes = run_once_auto(data, fns, cfg, arena, out_fastq=out_fastq)
+        n, nbytes = run_once_auto(data, eng, cfg, arena, out_fastq=out_fastq)
         dt = time.perf_counter() - t0
         times.append(dt)
         print("iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
@@ -1433,12 +1239,13 @@ def host_only():
     print("host lane: %d reads, %d bytes" % (N_READS, len(data)), file=sys.stderr)
     arena = np.empty(len(data) + (1 << 20), np.uint8)
     arena[::4096] = 0
-    for name, runner in (("classic", run_once), ("lines", run_once_auto)):
-        runner(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena)
+    for name, runner, dev in (("classic", run_once, fns),
+                              ("lines", run_once_auto, StubEngines())):
+        runner(synth_lane_bytes(2048, READ_LEN, seed=7), dev, cfg, arena)
         times = []
         for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 5))):
             t0 = time.perf_counter()
-            n, nbytes = runner(data, fns, cfg, arena)
+            n, nbytes = runner(data, dev, cfg, arena)
             dt = time.perf_counter() - t0
             times.append(dt)
             print("%s iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
@@ -1708,10 +1515,7 @@ def main():
     if config_n != 0:
         run_config_pipeline(config_n)
         return
-    from fastx_toolkit_tpu.engine.pipeline import (
-        PipelineConfig,
-        packed_decisions_pipeline,
-    )
+    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig
 
     dev = jax.devices()[0]
     print("bench device: %s" % dev, file=sys.stderr)
@@ -1720,11 +1524,9 @@ def main():
     print("lane: %d reads, %d bytes" % (N_READS, len(data)), file=sys.stderr)
 
     cfg = PipelineConfig(adapter=ADAPTER)
-    fns = (
-        packed_decisions_pipeline(cfg, two_bit=True, has_n_plane=False),
-        packed_decisions_pipeline(cfg, two_bit=True),
-        packed_decisions_pipeline(cfg),
-    )
+    from fastx_toolkit_tpu.engine.lines import LineEngines
+
+    eng = LineEngines(cfg)
 
     # output arena: the whole lane renders into one preallocated buffer
     # (pages touched once here, reused every iteration — the C baseline's
@@ -1735,7 +1537,7 @@ def main():
     # warmup (compile) on a small lane; padding makes the device shape
     # identical to the timed runs so the executable is reused
     t0 = time.perf_counter()
-    run_once_auto(synth_lane_bytes(2048, READ_LEN, seed=7), fns, cfg, arena)
+    run_once_auto(synth_lane_bytes(2048, READ_LEN, seed=7), eng, cfg, arena)
     print("warmup %.1fs" % (time.perf_counter() - t0), file=sys.stderr)
 
     # best-of-N: the tunnel's bandwidth swings 6-35 MB/s minute to
@@ -1743,7 +1545,7 @@ def main():
     times = []
     for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
         t0 = time.perf_counter()
-        n, nbytes = run_once_auto(data, fns, cfg, arena)
+        n, nbytes = run_once_auto(data, eng, cfg, arena)
         dt = time.perf_counter() - t0
         times.append(dt)
         print(
@@ -1763,7 +1565,7 @@ def main():
     try:
         from fastx_toolkit_tpu.engine.pipeline import pack_batch2
 
-        fn = fns[0]
+        fn = eng.fn2(False)
         rng = np.random.default_rng(0)
         dbases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(CHUNK, READ_LEN))
         dquals = rng.integers(2, 41, size=(CHUNK, READ_LEN)).astype(np.int8)

@@ -175,6 +175,62 @@ def _stage_configs(ctx: CliContext, stages, is_fastq: bool):
     return cfgs, fasta_mode
 
 
+_CANONICAL = ("fastx_trimmer", "fastq_quality_filter", "fastq_quality_trimmer",
+              "fastq_masker", "fastx_clipper", "fastx_artifacts_filter",
+              "fastq_to_fasta")
+
+
+def chain_to_config(cfgs):
+    """Map a stage chain onto the fused PipelineConfig used by the
+    raw-line streaming engine (engine.lines), when the chain is a
+    subsequence of the canonical preprocessing order with each stage at
+    most once and only fused-supported flags.  Returns
+    (PipelineConfig, out_fastq) or None (the classic per-batch loop then
+    runs the chain with identical results)."""
+    from ...engine.pipeline import PipelineConfig
+
+    pos = -1
+    for c in cfgs:
+        if c["kind"] not in _CANONICAL:
+            return None
+        i = _CANONICAL.index(c["kind"])
+        if i <= pos:
+            return None
+        pos = i
+    kw = dict(with_filter=False, with_qtrim=False, with_mask=False,
+              with_clip=False, with_artifacts=False)
+    out_fastq = True
+    for c in cfgs:
+        k = c["kind"]
+        if k == "fastx_trimmer":
+            if c["first"] != 1 or c["trim_end"] != 0 or c["min_len"] != 0:
+                return None
+            kw["trim_last"] = c["last"]
+        elif k == "fastq_quality_filter":
+            kw.update(with_filter=True, filter_q=c["q"], filter_p=c["p"])
+        elif k == "fastq_quality_trimmer":
+            kw.update(with_qtrim=True, trim_q=c["t"], trim_minlen=c["l"])
+        elif k == "fastq_masker":
+            if c["mask"] != ord("N"):
+                return None
+            kw.update(with_mask=True, mask_q=c["q"])
+        elif k == "fastx_clipper":
+            if (c["keep_delta"] or c["discard_non_clipped"]
+                    or c["discard_clipped"] or c["show_adapter_only"]
+                    or c["min_adapter"]):
+                return None
+            kw.update(with_clip=True, adapter=c["adapter"],
+                      clip_minlen=c["min_length"], clip_keep_n=c["keep_n"])
+        elif k == "fastx_artifacts_filter":
+            kw["with_artifacts"] = True
+        else:  # fastq_to_fasta
+            if c["rename"]:
+                return None
+            out_fastq = False
+            kw["to_fasta_discard_n"] = not c["keep_n"]
+    return PipelineConfig(**kw), out_fastq
+
+
 def build_step(cfgs):
     """Trace the whole chain into one jitted device program.
 
@@ -275,9 +331,46 @@ def tool_main(ctx: CliContext, argv) -> int:
     out_ordinal = 0
     stage_totals = None
     rename_output = False
-    for batch in reader:
+    chunks = reader.iter_chunks()
+    first_chunk = next(chunks, None)
+    if first_chunk is not None:
+        cfgs, fasta_mode = _stage_configs(ctx, stages, reader.is_fastq)
+        # raw-line streaming engine (engine.lines) for fused-supported
+        # chains: frame + validate line spans, packed upload, span-native
+        # render, per-chunk classic fallback.  -v needs per-stage counts
+        # that only the classic per-batch loop tallies.
+        mapped = None
+        if reader.is_fastq and not args.verbose:
+            import os
+
+            from ...core import native
+
+            if native.LIB is not None and not os.environ.get(
+                "FASTX_TPU_NO_LINEPATH"
+            ):
+                mapped = chain_to_config(cfgs)
+        if mapped is not None:
+            import itertools
+
+            from ...engine.lines import stream_pipeline_lines
+
+            eng_cfg, eng_out_fastq = mapped
+            stream_pipeline_lines(
+                reader, eng_cfg, out_fastq=eng_out_fastq,
+                q_offset=args.q_offset, write=writer.write,
+                chunks=itertools.chain([first_chunk], chunks),
+            )
+            writer.close()
+            return 0
+        import itertools
+
+        chunks = itertools.chain([first_chunk], chunks)
+    else:
+        chunks = ()
+
+    for chunk, line_base in chunks:
+        batch = reader.parse_chunk(chunk, line_base)
         if step is None:
-            cfgs, fasta_mode = _stage_configs(ctx, stages, batch.is_fastq)
             rename_output = any(
                 c["kind"] == "fastq_to_fasta" and c.get("rename") for c in cfgs
             )

@@ -1,0 +1,319 @@
+"""Streaming raw-line pipeline engine: the package's fastest host path.
+
+Runs a fused preprocessing chain (engine.pipeline.PipelineConfig) over a
+FASTQ stream the way the headline benchmark does, as library code:
+
+* chunks are framed into raw line spans (codec.frame_fastq_fast) and
+  validated natively — the padded [B, L] base/quality matrices are never
+  built for clean chunks;
+* the 2-bit packed upload is produced straight from the spans
+  (native.pack2_lines) and dispatched to the device in fixed-size,
+  exactly-CHUNK-row batches (one compiled shape), with a bounded number
+  of chunks in flight and a dedicated drainer thread so the device
+  round-trip overlaps parsing;
+* the device returns only (new_length, keep) per read; output is
+  rendered from the original spans + decisions with the masker's byte
+  edit fused in (native.render_lines);
+* any chunk the fast path cannot take — numeric qualities, framing or
+  byte errors (the full parser then raises the reference's exact error
+  text), non-ACGTN alphabets — is parsed classically and dispatched
+  through the unpacked decisions program IN ORDER, so a single stream
+  can mix both paths with identical results.
+
+The reference equivalent is a shell pipeline of per-record C filters
+(e.g. /root/reference/src/fastq_quality_trimmer/fastq_quality_trimmer.c);
+here the whole chain is one device program fed by span-native host legs.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..core import codec, native
+from .pipeline import (
+    PipelineConfig,
+    _thresholds,
+    bucket_shape,
+    decisions_pipeline,
+    packed_decisions_pipeline,
+)
+
+CHUNK = int(os.environ.get("FASTX_TPU_CHUNK", 262144))
+
+
+class LineEngines:
+    """Lazily-built jitted programs for one PipelineConfig.  Reuse one
+    instance across calls so repeated streams hit the same traced
+    executables (jax.jit caches per wrapper function)."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self._fn2_clean = self._fn2 = self._unpacked = None
+
+    def fn2(self, has_n: bool):
+        if has_n:
+            if self._fn2 is None:
+                self._fn2 = packed_decisions_pipeline(self.cfg, two_bit=True)
+            return self._fn2
+        if self._fn2_clean is None:
+            self._fn2_clean = packed_decisions_pipeline(
+                self.cfg, two_bit=True, has_n_plane=False
+            )
+        return self._fn2_clean
+
+    def unpacked(self):
+        if self._unpacked is None:
+            self._unpacked = decisions_pipeline(self.cfg)
+        return self._unpacked
+
+
+def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
+                          q_offset: int, write, arena: Optional[np.ndarray] = None,
+                          chunk_rows: int = CHUNK,
+                          engines: Optional[LineEngines] = None,
+                          chunks=None):
+    """Stream ``reader`` through the fused chain; emit rendered bytes.
+
+    ``write(b)`` receives the output in input order (ignored when
+    ``arena`` is given — then bytes land in the arena and the total count
+    is returned).  ``chunks`` optionally supplies the (chunk, line_base)
+    iterator — callers that already consumed the head of
+    ``reader.iter_chunks()`` (e.g. to detect the format) pass the
+    rechained iterator here.  Returns
+    ``(n_records_in, n_records_out, bytes_out)``.
+    """
+    if native.LIB is None:
+        raise RuntimeError("stream_pipeline_lines requires the native codec")
+    if engines is None:
+        engines = LineEngines(cfg)
+    if chunks is None:
+        chunks = reader.iter_chunks()
+    thresholds = _thresholds(cfg)
+    allowed = codec.allowed_table_u8(reader.allow_n, reader.allow_u, False)
+    inflight_max = int(os.environ.get("FASTX_BENCH_INFLIGHT", 2))
+
+    blocks_q: "queue.Queue" = queue.Queue()
+    futs_q: "queue.Queue" = queue.Queue(maxsize=32)
+    inflight_q: "queue.Queue" = queue.Queue(maxsize=max(1, inflight_max - 1))
+    err = []
+
+    def drain():
+        try:
+            while True:
+                item = inflight_q.get()
+                if item is None:
+                    break
+                nrows, fut = item
+                futs_q.put((nrows, np.asarray(fut[0]), np.asarray(fut[1])))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            futs_q.put(None)
+
+    def produce():
+        segs = []  # (frame, lo, hi) awaiting a full dispatch chunk
+        pend = 0
+        any_n = False
+
+        def flush(rows, pad_rows=0):
+            nonlocal segs
+            take, got = [], 0
+            while got < rows:
+                fr, lo, hi = segs[0]
+                need = rows - got
+                if hi - lo <= need:
+                    take.append(segs.pop(0))
+                    got += hi - lo
+                else:
+                    take.append((fr, lo, lo + need))
+                    segs[0] = (fr, lo + need, hi)
+                    got = rows
+            W = max(int(fr.seq_lens[lo:hi].max()) if hi > lo else 1
+                    for fr, lo, hi in take)
+            B = rows + pad_rows
+            n_planes = len(thresholds) + (1 if any_n else 0)
+            b2 = np.zeros((B, (W + 3) // 4), np.uint8)
+            planes = np.zeros((B, n_planes, (W + 7) // 8), np.uint8)
+            lengths = np.zeros(B, np.int16)
+            r0 = 0
+            for fr, lo, hi in take:
+                nseg = hi - lo
+                native.pack2_lines(
+                    fr.buf, fr.seq_starts[lo:hi], fr.qual_starts[lo:hi],
+                    fr.seq_lens[lo:hi], W, q_offset, thresholds, any_n,
+                    b2_out=b2, planes_out=planes, row0=r0,
+                )
+                lengths[r0:r0 + nseg] = fr.seq_lens[lo:hi]
+                r0 += nseg
+            inflight_q.put((rows, engines.fn2(any_n)(b2, planes, lengths)))
+
+        def flush_all():
+            nonlocal pend
+            while pend >= chunk_rows:
+                pend -= chunk_rows
+                flush(chunk_rows)
+            if pend:
+                flush(pend, chunk_rows - pend)
+                pend = 0
+
+        try:
+            for chunk, line_base in chunks:
+                fr = None
+                has_n = False
+                if reader.is_fastq:
+                    fr = codec.frame_fastq_fast(chunk)
+                if fr is not None and native.validate_records(
+                    fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts,
+                    allowed, q_offset,
+                ) != -1:
+                    fr = None  # byte error: the full parser raises exactly
+                if fr is not None:
+                    pure, has_n = native.scan_lines(
+                        fr.buf, fr.seq_starts, fr.seq_lens
+                    )
+                    if not pure:
+                        fr = None
+                if fr is None:
+                    # classic chunk: flush pending spans first so the
+                    # decisions futures stay in read order, then dispatch
+                    # the parsed batch through the unpacked program
+                    flush_all()
+                    batch = reader.parse_chunk(chunk, line_base)
+                    (bases, quals, lengths, counts), nb = _pad(batch)
+                    fut = engines.unpacked()(bases, quals, lengths, counts)
+                    blocks_q.put(("classic", batch))
+                    inflight_q.put((nb, (fut[0], fut[1])))
+                    continue
+                if has_n and not any_n and pend:
+                    # an N-bearing chunk after N-free ones changes the
+                    # packed-plane layout; flush so dispatches stay uniform
+                    flush_all()
+                any_n = any_n or has_n
+                blocks_q.put(("fast", fr))
+                segs.append((fr, 0, len(fr)))
+                pend += len(fr)
+                while pend >= chunk_rows:
+                    pend -= chunk_rows
+                    flush(chunk_rows)
+            if pend:
+                flush(pend, chunk_rows - pend)
+        except BaseException as e:
+            err.append(e)
+        finally:
+            blocks_q.put(None)
+            inflight_q.put(None)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    t_drain = threading.Thread(target=drain, daemon=True)
+    t_drain.start()
+
+    n_total = 0
+    n_out = 0
+    out_pos = 0
+    cur = None  # [kind, block, new_len, keep, fill]
+    spill_len = spill_keep = None
+    mask_thr = cfg.mask_q if cfg.with_mask else None
+
+    def next_block():
+        nonlocal cur, spill_len, spill_keep
+        b = blocks_q.get()
+        if b is None:
+            cur = None
+            return False
+        kind, blk = b
+        n = len(blk)
+        cur = [kind, blk, np.empty(n, np.int32), np.empty(n, bool), 0]
+        if spill_len is not None:
+            take = min(len(spill_len), n)
+            cur[2][:take] = spill_len[:take]
+            cur[3][:take] = spill_keep[:take]
+            cur[4] = take
+            spill_len = spill_len[take:] if take < len(spill_len) else None
+            spill_keep = spill_keep[take:] if spill_len is not None else None
+        return True
+
+    def render_block(kind, blk, new_len, keep):
+        nonlocal out_pos, n_out
+        n_out += int(keep.sum())
+        if kind == "fast":
+            r = native.render_lines(
+                blk.buf, blk.name_starts, blk.name_lens, blk.seq_starts,
+                blk.qual_starts, blk.name2_starts, blk.name2_lens,
+                new_len, keep.astype(np.uint8), out_fastq=out_fastq,
+                q_offset=q_offset, mask_thr=mask_thr,
+                out=arena, out_off=out_pos if arena is not None else 0,
+            )
+        else:
+            blk.lengths = new_len
+            r = codec.render(
+                blk, out_fastq=out_fastq, ascii_qual=True, q_offset=q_offset,
+                keep=keep, mask_thr=mask_thr,
+                out=arena, out_off=out_pos if arena is not None else 0,
+            )
+        if arena is not None:
+            out_pos += r
+        else:
+            out_pos += len(r)
+            write(r)
+
+    def flush_if_done():
+        nonlocal cur, n_total
+        while cur is not None and cur[4] == len(cur[1]):
+            kind, blk, new_len, keep, _ = cur
+            render_block(kind, blk, new_len, keep)
+            n_total += len(blk)
+            if not next_block():
+                break
+
+    if not next_block():
+        t.join()
+        t_drain.join()
+        if err:
+            raise err[0]
+        return 0, 0, 0
+    while True:
+        item = futs_q.get()
+        if item is None:
+            break
+        nrows, l, k = item
+        dlen = l[:nrows]
+        dkeep = k[:nrows]
+        pos = 0
+        while pos < nrows and cur is not None:
+            room = len(cur[1]) - cur[4]
+            take = min(room, nrows - pos)
+            cur[2][cur[4]:cur[4] + take] = dlen[pos:pos + take]
+            cur[3][cur[4]:cur[4] + take] = dkeep[pos:pos + take]
+            cur[4] += take
+            pos += take
+            flush_if_done()
+        if pos < nrows:
+            spill_len = dlen[pos:]
+            spill_keep = dkeep[pos:]
+    t.join()
+    t_drain.join()
+    if err:
+        raise err[0]
+    return n_total, n_out, out_pos
+
+
+def _pad(batch):
+    """Pad a parsed batch to bucketed shapes for the unpacked decisions
+    program (mirrors engine.pipeline.to_device)."""
+    b, l = batch.bases.shape  # noqa: E741
+    bb, ll = bucket_shape(max(b, 1), max(l, 1))
+    bases = np.zeros((bb, ll), np.uint8)
+    quals = np.zeros((bb, ll), np.int8)
+    bases[:b, :l] = batch.bases
+    quals[:b, :l] = batch.quals
+    lengths = np.zeros(bb, np.int32)
+    lengths[:b] = batch.lengths
+    counts = np.zeros(bb, np.int32)
+    counts[:b] = batch.counts
+    return (bases, quals, lengths, counts), b

@@ -114,3 +114,43 @@ def test_rejects_quality_stage_after_fasta():
 def test_rejects_unknown_stage():
     r = run_tool(fastx_pipeline, ["-Q", "33", "fastx_collapser"], b"@a\nA\n+\n!\n")
     assert r.status != 0
+
+
+def test_pipeline_engine_path_matches_classic(monkeypatch):
+    """The raw-line streaming engine (chain_to_config + engine.lines)
+    must match the classic per-batch loop byte for byte, including an
+    engine-ineligible (numeric-quality) chunk mid-stream."""
+    import numpy as np
+
+    from fastx_toolkit_tpu.core import native
+
+    if native.LIB is None:
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(91)
+    recs = []
+    for i in range(400):
+        ln = int(rng.integers(5, 60))
+        seq = rng.choice(np.frombuffer(b"ACGTN" if i % 6 else b"ACGT", np.uint8),
+                         size=ln)
+        q = (rng.integers(0, 41, ln) + 33).astype(np.uint8)
+        recs.append(b"@p%d\n%s\n+\n%s\n" % (i, seq.tobytes(), q.tobytes()))
+    # a numeric-quality record forces its chunk onto the classic fallback
+    recs.insert(200, b"@nq\nACGT\n+\n30 31 32 33\n")
+    data = b"".join(recs)
+    chain = ("fastx_trimmer -l 50 | fastq_quality_filter -q 12 -p 40 | "
+             "fastq_quality_trimmer -t 10 | fastq_masker -q 8 | "
+             "fastx_clipper -a CCTTAAGGACCA -n -l 5 | fastx_artifacts_filter")
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    fastr = run_tool(fastx_pipeline, ["-Q", "33", chain], stdin=data)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    classic = run_tool(fastx_pipeline, ["-Q", "33", chain], stdin=data)
+    assert fastr.status == classic.status == 0, (fastr.stderr, classic.stderr)
+    assert fastr.stdout == classic.stdout
+    # a to_fasta-terminated chain renders FASTA from the engine too
+    chain2 = "fastq_quality_trimmer -t 10 | fastq_to_fasta"
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    f2 = run_tool(fastx_pipeline, ["-Q", "33", chain2], stdin=data)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    c2 = run_tool(fastx_pipeline, ["-Q", "33", chain2], stdin=data)
+    assert f2.status == c2.status == 0
+    assert f2.stdout == c2.stdout
