@@ -7,8 +7,6 @@ that the fused raw-line fast paths fall back to the full parser for the
 reference's exact error text.
 """
 
-import os
-
 import numpy as np
 import pytest
 
@@ -18,8 +16,6 @@ from fastx_toolkit_tpu.ops import stats as stats_ops
 pytestmark = pytest.mark.skipif(
     native.LIB is None, reason="native codec library unavailable"
 )
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _rand_batch(rng, B, L, alphabet=b"ACGTN"):
