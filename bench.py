@@ -193,6 +193,12 @@ def run_once(data: bytes, fns, cfg, arena, *, out_fastq: bool = True) -> tuple[i
                             np.asarray(fut[1])))
         except BaseException as e:
             err.append(e)
+            # keep consuming so the producer can't block on the bounded
+            # queue after a device failure
+            while True:
+                item = inflight_q.get()
+                if item is None:
+                    break
         finally:
             futs_q.put(None)
 

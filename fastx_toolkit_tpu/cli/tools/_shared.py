@@ -83,31 +83,56 @@ def line_fast_path(reader, args):
 def prefetch_iter(it, depth: int = 2):
     """Run a generator on a background thread with a bounded queue so the
     producer (chunk framing / parsing) overlaps the consumer's native
-    kernels.  Exceptions re-raise in the consumer."""
+    kernels.  Exceptions re-raise in the consumer; if the consumer
+    abandons the loop early (break / exception), the producer is
+    cancelled and joined instead of leaking a thread blocked on the
+    bounded queue."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err = []
     done = object()
+    stop = threading.Event()
 
     def run():
         try:
             for x in it:
-                q.put(x)
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced in the consuming thread
             err.append(e)
         finally:
-            q.put(done)
+            while True:  # deliver the sentinel unless the consumer left
+                try:
+                    q.put(done, timeout=0.1)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
-    while True:
-        x = q.get()
-        if x is done:
-            break
-        yield x
-    t.join()
+    try:
+        while True:
+            x = q.get()
+            if x is done:
+                break
+            yield x
+    finally:
+        stop.set()
+        while True:  # unblock a producer waiting on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=10)
     if err:
         raise err[0]
 

@@ -76,7 +76,7 @@ def tool_main(ctx: CliContext, argv) -> int:
         table_native = native.DedupTable()
         for chunk, line_base in reader.iter_chunks():
             handled = False
-            if reader.is_fastq:
+            if reader.is_fastq and not os.environ.get("FASTX_TPU_NO_LINEPATH"):
                 # fused raw-line fast path (see fastx_quality_stats):
                 # validate first — the persistent table must not see rows
                 # from a chunk that the full parser would reject

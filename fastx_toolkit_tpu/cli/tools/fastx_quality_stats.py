@@ -8,6 +8,7 @@ reference's exact integer semantics.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -89,7 +90,8 @@ def tool_main(ctx: CliContext, argv) -> int:
         # histogram kernel avoids shipping raw quality bytes over a thin
         # device link; the device path wins on a PCIe-local chip.
         parts = None
-        if path == "host" and reader.is_fastq:
+        if (path == "host" and reader.is_fastq
+                and not os.environ.get("FASTX_TPU_NO_LINEPATH")):
             # fused raw-line fast path: frame + validate + accumulate with
             # no padded-matrix build; any anomaly (numeric quals, framing
             # or byte errors) re-parses for the reference's exact errors.

@@ -112,6 +112,13 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
                 futs_q.put((nrows, np.asarray(fut[0]), np.asarray(fut[1])))
         except BaseException as e:
             err.append(e)
+            # keep consuming (discarding futures) so the producer can
+            # never block forever on the bounded queue after a device
+            # failure — the error re-raises in the consuming thread
+            while True:
+                item = inflight_q.get()
+                if item is None:
+                    break
         finally:
             futs_q.put(None)
 
@@ -119,6 +126,7 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
         segs = []  # (frame, lo, hi) awaiting a full dispatch chunk
         pend = 0
         any_n = False
+        w_run = [8]  # grow-only dispatch width (multiple of 8)
 
         def flush(rows, pad_rows=0):
             nonlocal segs
@@ -135,6 +143,11 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
                     got = rows
             W = max(int(fr.seq_lens[lo:hi].max()) if hi > lo else 1
                     for fr, lo, hi in take)
+            # grow-only width rounded to a multiple of 8: variable-length
+            # lanes converge to one compiled shape instead of retracing
+            # the jitted program per distinct chunk width
+            w_run[0] = max(w_run[0], -(-W // 8) * 8)
+            W = w_run[0]
             B = rows + pad_rows
             n_planes = len(thresholds) + (1 if any_n else 0)
             b2 = np.zeros((B, (W + 3) // 4), np.uint8)
@@ -172,6 +185,11 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
                     allowed, q_offset,
                 ) != -1:
                     fr = None  # byte error: the full parser raises exactly
+                if fr is not None and len(fr) and int(fr.seq_lens.max()) > 25000:
+                    # beyond the reference's MAX_SEQ_LINE_LENGTH
+                    # (fastx.h:33-35) the dispatch's int16 length column
+                    # could wrap; such reads take the classic int32 path
+                    fr = None
                 if fr is not None:
                     pure, has_n = native.scan_lines(
                         fr.buf, fr.seq_starts, fr.seq_lens
@@ -251,9 +269,17 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
             )
         else:
             blk.lengths = new_len
+            # preserve each record's quality representation: a classic
+            # chunk may carry numeric-quality FASTQ records the reference
+            # re-emits numerically (fastx.c:382-390, write :449-468)
+            ascii_q = (
+                blk.qual_ascii
+                if (blk.is_fastq and blk.qual_ascii is not None)
+                else True
+            )
             r = codec.render(
-                blk, out_fastq=out_fastq, ascii_qual=True, q_offset=q_offset,
-                keep=keep, mask_thr=mask_thr,
+                blk, out_fastq=out_fastq, ascii_qual=ascii_q,
+                q_offset=q_offset, keep=keep, mask_thr=mask_thr,
                 out=arena, out_off=out_pos if arena is not None else 0,
             )
         if arena is not None:

@@ -254,15 +254,34 @@ extern "C" {
 
 // One fast scan: bit0 set iff every byte is PAD/A/C/G/T/N (2-bit domain),
 // bit1 set iff any byte is 'N'.
+namespace {
+// function-local `static const` objects use C++11 magic statics, so
+// first-call initialization is thread-safe (two concurrent streams may
+// race a plain bool guard)
+struct AcgtnTable {
+  bool t[256] = {false};
+  explicit AcgtnTable(bool with_pad) {
+    if (with_pad) t[0] = true;
+    t['A'] = t['C'] = t['G'] = t['T'] = t['N'] = true;
+  }
+};
+struct Code2Table {
+  uint8_t t[256] = {0};
+  Code2Table() { t['C'] = 1; t['G'] = 2; t['T'] = 3; t['N'] = 3; }
+};
+struct Code4Table {
+  uint8_t t[256] = {0};
+  Code4Table() {
+    const char* alpha = "ACGTNUacgtnu";
+    for (int i = 0; alpha[i]; i++) t[(uint8_t)alpha[i]] = (uint8_t)(i + 1);
+  }
+};
+}  // namespace
+
 int32_t fx_scan_alphabet(const uint8_t* bases, int64_t total) {
   bool pure = true, has_n = false;
-  static bool is_acgtn[256] = {false};
-  static bool init = false;
-  if (!init) {
-    is_acgtn[0] = is_acgtn['A'] = is_acgtn['C'] = is_acgtn['G'] =
-        is_acgtn['T'] = is_acgtn['N'] = true;
-    init = true;
-  }
+  static const AcgtnTable kTab(true);
+  const bool* is_acgtn = kTab.t;
   for (int64_t i = 0; i < total; i++) {
     uint8_t b = bases[i];
     pure &= is_acgtn[b];
@@ -278,14 +297,10 @@ int32_t fx_scan_alphabet(const uint8_t* bases, int64_t total) {
 void fx_pack2(const uint8_t* bases, const int8_t* quals, int64_t n,
               int64_t L, const int8_t* thr, int n_thr, int include_nplane,
               uint8_t* b2, uint8_t* planes, int nthreads) {
-  static uint8_t code2[256] = {0};
-  static bool init = false;
-  if (!init) {
-    // matches the numpy fallback's clip(code-1, 0, 3): A/PAD->0, C->1,
-    // G->2, T->3; N (a don't-care, overridden by its bit-plane) -> 3
-    code2['C'] = 1; code2['G'] = 2; code2['T'] = 3; code2['N'] = 3;
-    init = true;
-  }
+  // matches the numpy fallback's clip(code-1, 0, 3): A/PAD->0, C->1,
+  // G->2, T->3; N (a don't-care, overridden by its bit-plane) -> 3
+  static const Code2Table kCode2;
+  const uint8_t* code2 = kCode2.t;
   const int64_t w2 = (L + 3) / 4;
   const int64_t w8 = (L + 7) / 8;
   const int64_t n_planes = n_thr + (include_nplane ? 1 : 0);
@@ -333,13 +348,8 @@ void fx_pack2(const uint8_t* bases, const int8_t* quals, int64_t n,
 void fx_pack4(const uint8_t* bases, const int8_t* quals, int64_t n,
               int64_t L, const int8_t* thr, int n_thr, uint8_t* b4,
               uint8_t* planes, int nthreads) {
-  static uint8_t code4[256] = {0};
-  static bool init = false;
-  if (!init) {
-    const char* alpha = "ACGTNUacgtnu";
-    for (int i = 0; alpha[i]; i++) code4[(uint8_t)alpha[i]] = (uint8_t)(i + 1);
-    init = true;
-  }
+  static const Code4Table kCode4;
+  const uint8_t* code4 = kCode4.t;
   const int64_t w4 = (L + 1) / 2;
   const int64_t w8 = (L + 7) / 8;
   parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
@@ -836,13 +846,8 @@ extern "C" {
 // bit1 = any 'N'.
 int32_t fx_scan_lines(const uint8_t* buf, const int64_t* seq_starts,
                       const int64_t* lens, int64_t n) {
-  static bool is_acgtn[256] = {false};
-  static bool init = false;
-  if (!init) {
-    is_acgtn['A'] = is_acgtn['C'] = is_acgtn['G'] = is_acgtn['T'] =
-        is_acgtn['N'] = true;
-    init = true;
-  }
+  static const AcgtnTable kTab(false);
+  const bool* is_acgtn = kTab.t;
   bool pure = true, has_n = false;
   for (int64_t i = 0; i < n; i++) {
     const uint8_t* p = buf + seq_starts[i];
@@ -867,12 +872,8 @@ void fx_pack2_lines(const uint8_t* buf, const int64_t* seq_starts,
                     int64_t n, int64_t L, const int32_t* thr_byte,
                     int n_thr, int include_nplane, uint8_t* b2,
                     uint8_t* planes, int nthreads) {
-  static uint8_t code2[256] = {0};
-  static bool init = false;
-  if (!init) {
-    code2['C'] = 1; code2['G'] = 2; code2['T'] = 3; code2['N'] = 3;
-    init = true;
-  }
+  static const Code2Table kCode2;
+  const uint8_t* code2 = kCode2.t;
   const int64_t w2 = (L + 3) / 4;
   const int64_t w8 = (L + 7) / 8;
   const int64_t n_planes = n_thr + (include_nplane ? 1 : 0);

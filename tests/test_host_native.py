@@ -252,3 +252,29 @@ def test_cli_line_fast_path_matches_classic(tool, flags, monkeypatch):
     assert fastr.stdout == classic.stdout
     assert fastr.report == classic.report
     assert fastr.stderr == classic.stderr
+
+
+def test_prefetch_iter_full_and_early_exit():
+    import threading
+
+    from fastx_toolkit_tpu.cli.tools._shared import prefetch_iter
+
+    n0 = threading.active_count()
+    assert list(prefetch_iter(iter(range(50)), depth=2)) == list(range(50))
+    # early consumer exit must cancel and join the producer thread
+    it = prefetch_iter(iter(range(10 ** 6)), depth=2)
+    for i, x in enumerate(it):
+        if i == 3:
+            break
+    it.close()
+    assert threading.active_count() == n0
+    # producer exceptions surface in the consumer
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    out = []
+    with pytest.raises(RuntimeError, match="producer failed"):
+        for x in prefetch_iter(boom()):
+            out.append(x)
+    assert out == [1]

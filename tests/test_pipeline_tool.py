@@ -154,3 +154,59 @@ def test_pipeline_engine_path_matches_classic(monkeypatch):
     c2 = run_tool(fastx_pipeline, ["-Q", "33", chain2], stdin=data)
     assert f2.status == c2.status == 0
     assert f2.stdout == c2.stdout
+
+
+def test_pipeline_engine_preserves_numeric_qualities(monkeypatch):
+    """A numeric-quality FASTQ stream through a fused-supported chain
+    must keep its numeric representation (the engine's classic fallback
+    renders with per-record qual_ascii, fastx.c:382-390)."""
+    import numpy as np
+
+    from fastx_toolkit_tpu.core import native
+
+    if native.LIB is None:
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(93)
+    recs = []
+    for i in range(50):
+        ln = int(rng.integers(8, 30))
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=ln)
+        q = rng.integers(20, 41, ln)
+        if i % 3 == 0:  # numeric-quality records interleaved with ASCII
+            qline = b" ".join(b"%d" % v for v in q)
+        else:
+            qline = (q + 33).astype(np.uint8).tobytes()
+        recs.append(b"@m%d\n%s\n+\n%s\n" % (i, seq.tobytes(), qline))
+    data = b"".join(recs)
+    chain = "fastq_quality_trimmer -t 5"
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    fastr = run_tool(fastx_pipeline, ["-Q", "33", chain], stdin=data)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    classic = run_tool(fastx_pipeline, ["-Q", "33", chain], stdin=data)
+    assert fastr.status == classic.status == 0, (fastr.stderr, classic.stderr)
+    assert fastr.stdout == classic.stdout
+    assert b"@m0\n" in fastr.stdout and b" " in fastr.stdout.split(b"\n")[3]
+
+
+def test_pipeline_engine_long_reads_take_classic_path(monkeypatch):
+    """Reads beyond the reference's 25,000-base cap must route to the
+    classic int32 path (the packed dispatch carries int16 lengths)."""
+    import numpy as np
+
+    from fastx_toolkit_tpu.core import native
+
+    if native.LIB is None:
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(95)
+    big = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=30000)
+    q = (rng.integers(20, 41, 30000) + 33).astype(np.uint8)
+    small = b"@s\nACGTACGTACGT\n+\nIIIIIIIIIIII\n"
+    data = small + b"@big\n%s\n+\n%s\n" % (big.tobytes(), q.tobytes()) + small
+    chain = "fastq_quality_trimmer -t 5"
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    fastr = run_tool(fastx_pipeline, ["-Q", "33", chain], stdin=data)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    classic = run_tool(fastx_pipeline, ["-Q", "33", chain], stdin=data)
+    assert fastr.status == classic.status == 0
+    assert fastr.stdout == classic.stdout
+    assert b"@big\n" in fastr.stdout
