@@ -50,11 +50,12 @@ def line_fast_path(reader, args):
     full parser), or None when the environment can't support the fast
     path at all (no native library, or FASTX_TPU_NO_LINEPATH=1).
 
-    A frame is returned only for clean ASCII-quality FASTQ chunks whose
-    bytes pass the reference's validation — anything else (numeric
-    qualities, framing or byte errors) must go through
-    ``reader.parse_chunk`` so the error text matches the reference
-    byte for byte (fastx.c:314-404)."""
+    A frame (codec.FastqFrame, or codec.FastaFrame for FASTA streams —
+    only reachable for tools whose reader accepts FASTA) is returned only
+    for clean chunks whose bytes pass the reference's validation —
+    anything else (numeric qualities, multi-line FASTA, framing or byte
+    errors) must go through ``reader.parse_chunk`` so the error text
+    matches the reference byte for byte (fastx.c:314-404)."""
     import os as _os
 
     from ...core import codec as _codec
@@ -65,17 +66,24 @@ def line_fast_path(reader, args):
     allowed = _codec.allowed_table_u8(reader.allow_n, reader.allow_u, False)
 
     def attempt(chunk):
-        if not reader.is_fastq:
-            return None
-        fr = _codec.frame_fastq_fast(chunk)
-        if fr is None:
+        if reader.is_fastq:
+            fr = _codec.frame_fastq_fast(chunk)
+            if fr is None:
+                return None
+            if _native.validate_records(
+                fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts, allowed,
+                args.q_offset,
+            ) != -1:
+                return None
+            return fr
+        ff = _codec.frame_fasta_fast(chunk)
+        if ff is None:
             return None
         if _native.validate_records(
-            fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts, allowed,
-            args.q_offset,
+            ff.buf, ff.seq_starts, ff.seq_lens, None, allowed, args.q_offset
         ) != -1:
             return None
-        return fr
+        return ff
 
     return attempt
 

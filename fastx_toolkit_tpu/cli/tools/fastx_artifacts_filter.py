@@ -48,13 +48,27 @@ def tool_main(ctx: CliContext, argv) -> int:
             from ...core import native
 
             keep = native.artifacts_rows(fr.buf, fr.seq_starts, fr.seq_lens)
-            n_in += len(fr)
-            n_out += int(keep.sum())
-            writer.write(native.render_lines(
-                fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
-                fr.qual_starts, fr.name2_starts, fr.name2_lens,
-                fr.seq_lens, keep, out_fastq=True, q_offset=args.q_offset,
-            ))
+            if reader.is_fastq:
+                n_in += len(fr)
+                n_out += int(keep.sum())
+                writer.write(native.render_lines(
+                    fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
+                    fr.qual_starts, fr.name2_starts, fr.name2_lens,
+                    fr.seq_lens, keep, out_fastq=True,
+                    q_offset=args.q_offset,
+                ))
+            else:
+                counts = native.counts_from_names(
+                    fr.buf, fr.name_starts, fr.name_lens
+                ).astype(np.int64)
+                kb = keep.astype(bool)
+                n_in += int(counts.sum())
+                n_out += int(counts[kb].sum())
+                writer.write(native.render_lines(
+                    fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
+                    fr.seq_starts, None, None, fr.seq_lens, keep,
+                    out_fastq=False, q_offset=args.q_offset,
+                ))
             continue
         batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)

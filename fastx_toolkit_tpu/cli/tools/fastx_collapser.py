@@ -76,20 +76,40 @@ def tool_main(ctx: CliContext, argv) -> int:
         table_native = native.DedupTable()
         for chunk, line_base in reader.iter_chunks():
             handled = False
-            if reader.is_fastq and not os.environ.get("FASTX_TPU_NO_LINEPATH"):
-                # fused raw-line fast path (see fastx_quality_stats):
+            if not os.environ.get("FASTX_TPU_NO_LINEPATH"):
+                # fused raw-line fast paths (see fastx_quality_stats):
                 # validate first — the persistent table must not see rows
                 # from a chunk that the full parser would reject
-                fr = codec.frame_fastq_fast(chunk)
-                if fr is not None:
-                    buf, ss, sl, qs = fr
-                    if native.validate_records(
-                        buf, ss, sl, qs, allowed, args.q_offset
+                if reader.is_fastq:
+                    fr = codec.frame_fastq_fast(chunk)
+                    if fr is not None:
+                        buf, ss, sl, qs = fr
+                        if native.validate_records(
+                            buf, ss, sl, qs, allowed, args.q_offset
+                        ) == -1:
+                            table_native.insert_lines(buf, ss, sl, rec_base)
+                            n_in_seq += len(ss)
+                            n_in_reads += len(ss)  # FASTQ multiplicity is 1
+                            rec_base += len(ss)
+                            handled = True
+                else:
+                    ff = codec.frame_fasta_fast(chunk)
+                    if ff is not None and native.validate_records(
+                        ff.buf, ff.seq_starts, ff.seq_lens, None, allowed,
+                        args.q_offset,
                     ) == -1:
-                        table_native.insert_lines(buf, ss, sl, rec_base)
-                        n_in_seq += len(ss)
-                        n_in_reads += len(ss)  # FASTQ multiplicity is 1
-                        rec_base += len(ss)
+                        # collapsed multiplicities from the '>id-count'
+                        # names (get_reads_count, fastx.c:475-495)
+                        counts = native.counts_from_names(
+                            ff.buf, ff.name_starts, ff.name_lens
+                        )
+                        table_native.insert_lines(
+                            ff.buf, ff.seq_starts, ff.seq_lens, rec_base,
+                            counts=counts,
+                        )
+                        n_in_seq += len(ff)
+                        n_in_reads += int(counts.sum())
+                        rec_base += len(ff)
                         handled = True
             if not handled:
                 batch = reader.parse_chunk(chunk, line_base)

@@ -82,10 +82,11 @@ def tool_main(ctx: CliContext, argv) -> int:
         fr = fast(chunk) if fast is not None else None
         if fr is not None:
             # raw-line fast path: positional trims are span arithmetic —
-            # -f shifts both the sequence and quality spans, -l/-t adjust
-            # lengths (exact transforms.trimmer semantics)
+            # -f shifts the sequence (and, for FASTQ, quality) spans,
+            # -l/-t adjust lengths (exact transforms.trimmer semantics)
             from ...core import native
 
+            is_fq = reader.is_fastq
             nl = fr.seq_lens.copy()
             keep = np.ones(len(fr), bool)
             if st["last"] != 0:
@@ -99,15 +100,29 @@ def tool_main(ctx: CliContext, argv) -> int:
                 nl = nl - st["trim_end"]
                 keep &= nl >= st["min_len"]
             nl = np.where(keep, np.maximum(nl, 0), 0)
-            n_in += len(fr)
-            n_out += int(keep.sum())
-            writer.write(native.render_lines(
-                fr.buf, fr.name_starts, fr.name_lens,
-                fr.seq_starts + off, fr.qual_starts + off,
-                fr.name2_starts, fr.name2_lens,
-                nl, keep.astype(np.uint8), out_fastq=True,
-                q_offset=args.q_offset,
-            ))
+            if is_fq:
+                n_in += len(fr)
+                n_out += int(keep.sum())
+                writer.write(native.render_lines(
+                    fr.buf, fr.name_starts, fr.name_lens,
+                    fr.seq_starts + off, fr.qual_starts + off,
+                    fr.name2_starts, fr.name2_lens,
+                    nl, keep.astype(np.uint8), out_fastq=True,
+                    q_offset=args.q_offset,
+                ))
+            else:
+                # FASTA reports weigh by collapsed multiplicity
+                counts = native.counts_from_names(
+                    fr.buf, fr.name_starts, fr.name_lens
+                ).astype(np.int64)
+                n_in += int(counts.sum())
+                n_out += int(counts[keep].sum())
+                writer.write(native.render_lines(
+                    fr.buf, fr.name_starts, fr.name_lens,
+                    fr.seq_starts + off, fr.seq_starts + off,
+                    None, None, nl, keep.astype(np.uint8),
+                    out_fastq=False, q_offset=args.q_offset,
+                ))
             continue
         batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)

@@ -438,6 +438,53 @@ def frame_fastq_fast(data: bytes):
     )
 
 
+class FastaFrame:
+    """Raw-line spans of a clean single-line FASTA chunk."""
+
+    __slots__ = ("buf", "seq_starts", "seq_lens", "name_starts", "name_lens")
+
+    def __init__(self, buf, seq_starts, seq_lens, name_starts, name_lens):
+        self.buf = buf
+        self.seq_starts = seq_starts
+        self.seq_lens = seq_lens
+        self.name_starts = name_starts  # after the '>'
+        self.name_lens = name_lens
+
+    def __len__(self):
+        return len(self.seq_starts)
+
+
+def frame_fasta_fast(data: bytes):
+    """Vectorized 2-line FASTA framing for the fused host fast paths.
+
+    Returns a :class:`FastaFrame` for clean chunks (complete 2-line
+    records, '>' header prefixes); ``None`` sends the caller to the full
+    parser — which rejects multi-line FASTA with the reference's friendly
+    error (fastx.c:336-342), so a '>'-less even line here must fall back
+    rather than be mis-framed.  Byte validation is the caller's job
+    (native.validate_records with qual_starts=None).
+    """
+    if not data:
+        return None
+    starts, ends, buf = _split_lines(data)
+    nlines = len(starts)
+    if nlines == 0 or nlines % 2:
+        return None
+    lens = ends - starts
+    hdr_starts = starts[0::2]
+    hdr_lens = lens[0::2]
+    if not ((hdr_lens > 0) & (buf[np.minimum(hdr_starts, len(buf) - 1)]
+                              == ord(">"))).all():
+        return None
+    return FastaFrame(
+        buf,
+        np.ascontiguousarray(starts[1::2]),
+        np.ascontiguousarray(lens[1::2]),
+        np.ascontiguousarray(hdr_starts + 1),
+        np.ascontiguousarray(hdr_lens - 1),
+    )
+
+
 def allowed_table_u8(allow_n: bool = True, allow_u: bool = False,
                      allow_lower: bool = False) -> np.ndarray:
     """The reference's allowed_nucleotides table as uint8 (for the native

@@ -104,8 +104,11 @@ def _load():
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_int, _i64p, ctypes.c_int]
     lib.fx_dedup_insert_lines.argtypes = [ctypes.c_void_p, _u8p, _i64p,
-                                          _i64p, ctypes.c_int64,
+                                          _i64p, _i32p, ctypes.c_int64,
                                           ctypes.c_int64, ctypes.c_int]
+    lib.fx_counts_from_names.argtypes = [_u8p, _i64p, _i64p,
+                                         ctypes.c_int64, _i32p,
+                                         ctypes.c_int]
     lib.fx_scan_lines.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64]
     lib.fx_scan_lines.restype = ctypes.c_int32
     lib.fx_pack2_lines.argtypes = [_u8p, _i64p, _i64p, _i64p,
@@ -314,6 +317,16 @@ def stats_counts(bases, lens, counts):
     return out
 
 
+def counts_from_names(buf, name_starts, name_lens) -> np.ndarray:
+    """Collapsed multiplicities from FASTA id spans (get_reads_count,
+    fastx.c:475-495; exact codec.parse_counts_from_names semantics)."""
+    n = len(name_starts)
+    out = np.empty(n, np.int32)
+    LIB.fx_counts_from_names(ptr(buf, _u8p), ptr(name_starts, _i64p),
+                             ptr(name_lens, _i64p), n, ptr(out, _i32p), _NT)
+    return out
+
+
 def validate_records(buf, seq_starts, lens, qual_starts, allowed_u8,
                      q_offset: int) -> int:
     """First invalid record index (empty/bad sequence byte, or — when
@@ -480,12 +493,18 @@ class DedupTable:
                             ptr(lens, _i32p), cptr, first_base, _NT)
 
     def insert_lines(self, buf: np.ndarray, seq_starts: np.ndarray,
-                     lens: np.ndarray, first_base: int) -> None:
-        """Insert validated records straight from raw line spans
-        (multiplicity 1 — the FASTQ case, fastx.c:479-481)."""
+                     lens: np.ndarray, first_base: int,
+                     counts=None) -> None:
+        """Insert validated records straight from raw line spans;
+        ``counts`` None means multiplicity 1 (the FASTQ case,
+        fastx.c:479-481), else per-record collapsed counts."""
+        cptr = None
+        if counts is not None:
+            counts = np.ascontiguousarray(counts, np.int32)
+            cptr = ptr(counts, _i32p)
         LIB.fx_dedup_insert_lines(
             self._h, ptr(buf, _u8p), ptr(seq_starts, _i64p),
-            ptr(lens, _i64p), len(seq_starts), first_base, _NT,
+            ptr(lens, _i64p), cptr, len(seq_starts), first_base, _NT,
         )
 
     def extract(self):

@@ -800,9 +800,12 @@ void fx_stats_lines_q(const uint8_t* buf, const int64_t* seq_starts,
     }
 }
 
-// Dedup insert from raw line spans (validated records, multiplicity 1).
+// Dedup insert from raw line spans (validated records); counts NULL
+// means multiplicity 1 (FASTQ), else the per-record collapsed counts
+// parsed from FASTA ids (fx_counts_from_names).
 void fx_dedup_insert_lines(void* p, const uint8_t* buf,
                            const int64_t* seq_starts, const int64_t* lens,
+                           const int32_t* counts,
                            int64_t n, int64_t first_base, int nthreads) {
   FxDedup* d = (FxDedup*)p;
   int nshards = (int)d->shards.size();
@@ -821,8 +824,9 @@ void fx_dedup_insert_lines(void* p, const uint8_t* buf,
         int shard = (int)(h >> (64 - 6)) & (nshards - 1);
         if (shard % insert_threads != t) continue;
         d->shards[(size_t)shard].insert(buf + seq_starts[i],
-                                        (int32_t)lens[i], 1, first_base + i,
-                                        h);
+                                        (int32_t)lens[i],
+                                        counts ? (int64_t)counts[i] : 1,
+                                        first_base + i, h);
       }
     };
     if (insert_threads > 1) ts.emplace_back(body); else body();
@@ -1086,6 +1090,51 @@ void fx_artifacts_rows(const uint8_t* buf, const int64_t* seq_starts,
       if (g > worst) worst = g;
       if (t > worst) worst = t;
       keep[i] = worst >= len - 3 ? 0 : 1;
+    }
+  });
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Collapsed-read multiplicity from FASTA id spans: the reference takes
+// atoi() of everything after the first '-' in the id and uses it when
+// > 0, else 1 (get_reads_count, /root/reference/src/libfastx/
+// fastx.c:475-495).  Mirrors core/codec.py parse_counts_from_names
+// exactly (incl. the int32 clamp).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void fx_counts_from_names(const uint8_t* buf, const int64_t* name_starts,
+                          const int64_t* name_lens, int64_t n,
+                          int32_t* out, int nthreads) {
+  parallel_ranges(n, pick_threads(n, nthreads), [&](int64_t s, int64_t e) {
+    for (int64_t i = s; i < e; i++) {
+      out[i] = 1;
+      const uint8_t* p = buf + name_starts[i];
+      int64_t len = name_lens[i];
+      int64_t d = 0;
+      while (d < len && p[d] != '-') d++;
+      if (d >= len) continue;
+      // atoi semantics: skip whitespace, optional single '+', then an
+      // optionally-'-'-signed digit run (codec._ATOI_RE)
+      int64_t j = d + 1;
+      while (j < len && (p[j] == ' ' || p[j] == '\t' || p[j] == '\n' ||
+                         p[j] == '\v' || p[j] == '\f' || p[j] == '\r'))
+        j++;
+      if (j < len && p[j] == '+') j++;
+      bool neg = false;
+      if (j < len && p[j] == '-') { neg = true; j++; }
+      if (j >= len || p[j] < '0' || p[j] > '9') continue;
+      int64_t v = 0;
+      while (j < len && p[j] >= '0' && p[j] <= '9') {
+        v = v * 10 + (p[j] - '0');
+        if (v > 2147483647) v = 2147483647;  // int32 clamp like the codec
+        j++;
+      }
+      if (neg) v = -v;
+      if (v > 0) out[i] = (int32_t)v;
     }
   });
 }

@@ -278,3 +278,84 @@ def test_prefetch_iter_full_and_early_exit():
         for x in prefetch_iter(boom()):
             out.append(x)
     assert out == [1]
+
+
+def test_counts_from_names_matches_codec():
+    from fastx_toolkit_tpu.core.records import StringColumn
+
+    names = [b"seq1", b"a-5", b"x-0", b"y--3", b"z- +7", b"w-+12", b"v-  9",
+             b"q-12abc", b"r-", b"t-99999999999999", b"u-3-4", b"-8"]
+    col = StringColumn.from_list(names)
+    want = codec.parse_counts_from_names(col)
+    flat = col.buf
+    offs = col.offs
+    starts = np.ascontiguousarray(offs[:-1])
+    lens = np.ascontiguousarray(np.diff(offs))
+    got = native.counts_from_names(flat, starts, lens)
+    assert np.array_equal(want, got), (want, got)
+
+
+def test_collapser_fasta_fast_path_matches_classic(monkeypatch):
+    import importlib
+
+    import util
+
+    mod = importlib.import_module("fastx_toolkit_tpu.cli.tools.fastx_collapser")
+    rng = np.random.default_rng(101)
+    recs = []
+    for i in range(200):
+        ln = int(rng.integers(4, 25))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=ln)
+        cnt = int(rng.integers(1, 9))
+        recs.append(b">c%d-%d\n%s\n" % (i, cnt, seq.tobytes()))
+    data = b"".join(recs) * 2  # duplicates across the stream
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    monkeypatch.setenv("FASTX_COLLAPSE_PATH", "host")
+    fastr = util.run_tool(mod, ["-Q", "33", "-v"], stdin=data)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    classic = util.run_tool(mod, ["-Q", "33", "-v"], stdin=data)
+    assert fastr.status == classic.status == 0, (fastr.stderr, classic.stderr)
+    assert fastr.stdout == classic.stdout
+    assert fastr.report == classic.report
+    # multi-line FASTA still gets the reference's friendly error
+    bad = b">a\nACGT\nACGT\n"
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    e = util.run_tool(mod, ["-Q", "33"], stdin=bad)
+    assert e.status != 0
+    assert "multi-line FASTA" in e.stderr
+
+
+@pytest.mark.parametrize("tool,flags", [
+    ("fastx_trimmer", ["-f", "3", "-l", "15"]),
+    ("fastx_trimmer", ["-t", "2", "-m", "8"]),
+    ("fastx_artifacts_filter", []),
+])
+def test_cli_fasta_line_fast_path_matches_classic(tool, flags, monkeypatch):
+    """FASTA streams through the raw-line fast paths (collapsed-count
+    weighted reports, span renders) must match the classic parser."""
+    import importlib
+
+    import util
+
+    mod = importlib.import_module("fastx_toolkit_tpu.cli.tools." + tool)
+    rng = np.random.default_rng(103)
+    recs = []
+    for i in range(250):
+        ln = int(rng.integers(1, 30))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=ln)
+        name = b"f%d-%d" % (i, rng.integers(1, 7)) if i % 2 else b"plain%d" % i
+        recs.append(b">%s\n%s\n" % (name, seq.tobytes()))
+    # a homopolymer artifact
+    recs.append(b">art-3\n" + b"G" * 30 + b"AT\n")
+    data = b"".join(recs)
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    fastr = util.run_tool(mod, ["-Q", "33", "-v", *flags], stdin=data)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    classic = util.run_tool(mod, ["-Q", "33", "-v", *flags], stdin=data)
+    assert fastr.status == classic.status == 0, (fastr.stderr, classic.stderr)
+    assert fastr.stdout == classic.stdout
+    assert fastr.report == classic.report
+    # multi-line FASTA falls back to the parser's friendly error
+    monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
+    e = util.run_tool(mod, ["-Q", "33", *flags], stdin=b">a\nAC\nGT\n")
+    assert e.status != 0 and "multi-line FASTA" in e.stderr
