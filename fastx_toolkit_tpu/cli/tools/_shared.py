@@ -66,26 +66,48 @@ def line_fast_path(reader, args):
     allowed = _codec.allowed_table_u8(reader.allow_n, reader.allow_u, False)
 
     def attempt(chunk):
-        if reader.is_fastq:
-            fr = _codec.frame_fastq_fast(chunk)
-            if fr is None:
-                return None
-            if _native.validate_records(
-                fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts, allowed,
-                args.q_offset,
-            ) != -1:
-                return None
-            return fr
-        ff = _codec.frame_fasta_fast(chunk)
-        if ff is None:
+        fr = (
+            _codec.frame_fastq_fast(chunk)
+            if reader.is_fastq
+            else _codec.frame_fasta_fast(chunk)
+        )
+        if fr is None:
             return None
         if _native.validate_records(
-            ff.buf, ff.seq_starts, ff.seq_lens, None, allowed, args.q_offset
+            fr.buf, fr.seq_starts, fr.seq_lens,
+            getattr(fr, "qual_starts", None), allowed, args.q_offset,
         ) != -1:
             return None
-        return ff
+        return fr
 
     return attempt
+
+
+def write_fasta_frame(writer, args, fr, new_lens, keep, *, seq_starts=None,
+                      counts=None):
+    """Render a FastaFrame's surviving records via the span renderer and
+    return ``(in_reads, out_reads)`` — weighted by the collapsed
+    multiplicities when ``counts`` is given (FASTA reports,
+    fastx.c:475-495), else plain record counts."""
+    import numpy as _np
+
+    from ...core import native as _native
+
+    ss = fr.seq_starts if seq_starts is None else seq_starts
+    kb = _np.asarray(keep, bool) if keep is not None else None
+    if counts is None:
+        n_in = len(fr)
+        n_out = int(kb.sum()) if kb is not None else len(fr)
+    else:
+        counts = _np.asarray(counts, _np.int64)
+        n_in = int(counts.sum())
+        n_out = int(counts[kb].sum()) if kb is not None else n_in
+    writer.write(_native.render_lines(
+        fr.buf, fr.name_starts, fr.name_lens, ss, ss, None, None,
+        new_lens, None if kb is None else kb.astype(_np.uint8),
+        out_fastq=False, q_offset=args.q_offset,
+    ))
+    return n_in, n_out
 
 
 def prefetch_iter(it, depth: int = 2):

@@ -60,15 +60,12 @@ def tool_main(ctx: CliContext, argv) -> int:
             else:
                 counts = native.counts_from_names(
                     fr.buf, fr.name_starts, fr.name_lens
-                ).astype(np.int64)
-                kb = keep.astype(bool)
-                n_in += int(counts.sum())
-                n_out += int(counts[kb].sum())
-                writer.write(native.render_lines(
-                    fr.buf, fr.name_starts, fr.name_lens, fr.seq_starts,
-                    fr.seq_starts, None, None, fr.seq_lens, keep,
-                    out_fastq=False, q_offset=args.q_offset,
-                ))
+                ) if args.verbose else None
+                di, do = _shared.write_fasta_frame(
+                    writer, args, fr, fr.seq_lens, keep, counts=counts,
+                )
+                n_in += di
+                n_out += do
             continue
         batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)

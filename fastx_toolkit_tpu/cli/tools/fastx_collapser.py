@@ -72,53 +72,38 @@ def tool_main(ctx: CliContext, argv) -> int:
     rec_base = 0
 
     if path == "host":
-        allowed = codec.allowed_table_u8()
         table_native = native.DedupTable()
+        # raw-line fast path (frame + validate, _shared.line_fast_path):
+        # validation runs before insertion — the persistent table must
+        # not see rows from a chunk the full parser would reject
+        fast = _shared.line_fast_path(reader, args)
         for chunk, line_base in reader.iter_chunks():
-            handled = False
-            if not os.environ.get("FASTX_TPU_NO_LINEPATH"):
-                # fused raw-line fast paths (see fastx_quality_stats):
-                # validate first — the persistent table must not see rows
-                # from a chunk that the full parser would reject
+            fr = fast(chunk) if fast is not None else None
+            if fr is not None:
                 if reader.is_fastq:
-                    fr = codec.frame_fastq_fast(chunk)
-                    if fr is not None:
-                        buf, ss, sl, qs = fr
-                        if native.validate_records(
-                            buf, ss, sl, qs, allowed, args.q_offset
-                        ) == -1:
-                            table_native.insert_lines(buf, ss, sl, rec_base)
-                            n_in_seq += len(ss)
-                            n_in_reads += len(ss)  # FASTQ multiplicity is 1
-                            rec_base += len(ss)
-                            handled = True
+                    counts = None
+                    n_in_reads += len(fr)  # FASTQ multiplicity is 1
                 else:
-                    ff = codec.frame_fasta_fast(chunk)
-                    if ff is not None and native.validate_records(
-                        ff.buf, ff.seq_starts, ff.seq_lens, None, allowed,
-                        args.q_offset,
-                    ) == -1:
-                        # collapsed multiplicities from the '>id-count'
-                        # names (get_reads_count, fastx.c:475-495)
-                        counts = native.counts_from_names(
-                            ff.buf, ff.name_starts, ff.name_lens
-                        )
-                        table_native.insert_lines(
-                            ff.buf, ff.seq_starts, ff.seq_lens, rec_base,
-                            counts=counts,
-                        )
-                        n_in_seq += len(ff)
-                        n_in_reads += int(counts.sum())
-                        rec_base += len(ff)
-                        handled = True
-            if not handled:
-                batch = reader.parse_chunk(chunk, line_base)
-                table_native.insert(
-                    batch.bases, batch.lengths, batch.counts, rec_base
+                    # collapsed multiplicities from the '>id-count'
+                    # names (get_reads_count, fastx.c:475-495)
+                    counts = native.counts_from_names(
+                        fr.buf, fr.name_starts, fr.name_lens
+                    )
+                    n_in_reads += int(counts.sum())
+                table_native.insert_lines(
+                    fr.buf, fr.seq_starts, fr.seq_lens, rec_base,
+                    counts=counts,
                 )
-                n_in_seq += len(batch)
-                n_in_reads += int(batch.counts.sum())
-                rec_base += len(batch)
+                n_in_seq += len(fr)
+                rec_base += len(fr)
+                continue
+            batch = reader.parse_chunk(chunk, line_base)
+            table_native.insert(
+                batch.bases, batch.lengths, batch.counts, rec_base
+            )
+            n_in_seq += len(batch)
+            n_in_reads += int(batch.counts.sum())
+            rec_base += len(batch)
         key_offs, key_buf, uniq_counts, uniq_first = table_native.extract()
         table_native.close()
     else:

@@ -111,18 +111,17 @@ def tool_main(ctx: CliContext, argv) -> int:
                     q_offset=args.q_offset,
                 ))
             else:
-                # FASTA reports weigh by collapsed multiplicity
+                # FASTA reports weigh by collapsed multiplicity; the
+                # counts scan is only paid when -v will read them
                 counts = native.counts_from_names(
                     fr.buf, fr.name_starts, fr.name_lens
-                ).astype(np.int64)
-                n_in += int(counts.sum())
-                n_out += int(counts[keep].sum())
-                writer.write(native.render_lines(
-                    fr.buf, fr.name_starts, fr.name_lens,
-                    fr.seq_starts + off, fr.seq_starts + off,
-                    None, None, nl, keep.astype(np.uint8),
-                    out_fastq=False, q_offset=args.q_offset,
-                ))
+                ) if args.verbose else None
+                di, do = _shared.write_fasta_frame(
+                    writer, args, fr, nl, keep,
+                    seq_starts=fr.seq_starts + off, counts=counts,
+                )
+                n_in += di
+                n_out += do
             continue
         batch = reader.parse_chunk(chunk, line_base)
         (bases, quals, lengths, counts), nb = to_device(batch)
