@@ -80,9 +80,9 @@ def tool_main(ctx: CliContext, argv) -> int:
         keep = np.asarray(_keep_jit(bases, lengths, discard_n=state["discard_n"]))[:nb]
         out = batch.select(keep)
         if state["rename"]:
-            out.names = StringColumn.from_list(
-                [b"%d" % (n_out + i + 1) for i in range(len(out))]
-            )
+            from ...ops.collapse import ordinal_column
+
+            out.names = StringColumn(*ordinal_column(n_out, len(out)))
         n_in += int(batch.counts.sum())
         n_out += int(out.counts.sum())
         writer.write(codec.render(out, out_fastq=False))

@@ -56,9 +56,9 @@ def tool_main(ctx: CliContext, argv) -> int:
             mat = np.asarray(batch.bases, dtype=np.uint8)
             names = StringColumn.from_padded(mat, np.asarray(batch.lengths))
         else:
-            names = StringColumn.from_list(
-                [b"%d" % (counter + i + 1) for i in range(len(batch))]
-            )
+            from ...ops.collapse import ordinal_column
+
+            names = StringColumn(*ordinal_column(counter, len(batch)))
             counter += len(batch)
         batch.names = names
         if batch.is_fastq:

@@ -70,9 +70,9 @@ def _uncollapse_fasta(ctx, args):
         idx = np.repeat(np.arange(len(batch)), counts)
         out = batch.take(idx)
         out.counts = np.ones(len(idx), np.int32)
-        out.names = StringColumn.from_list(
-            [b"%d" % (n_out + i + 1) for i in range(len(idx))]
-        )
+        from ...ops.collapse import ordinal_column
+
+        out.names = StringColumn(*ordinal_column(n_out, len(idx)))
         n_in_seq += len(batch)
         n_reads += int(counts.sum())
         n_out += len(idx)

@@ -112,6 +112,24 @@ def _dec_digits(x: np.ndarray):
     return digs, ndig
 
 
+def ordinal_column(start: int, n: int):
+    """Sequential decimal ids ``start+1 .. start+n`` as a StringColumn's
+    innards (flat uint8 buffer, int64 offsets) — the vectorized form of
+    ``[b"%d" % (start + i + 1) ...]`` used by fastx_renamer COUNT mode,
+    the uncollapser, and fastq_to_fasta -r."""
+    vals = np.arange(start + 1, start + n + 1, dtype=np.int64)
+    digs, ndig = _dec_digits(vals)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(ndig, out=offs[1:])
+    flat = np.empty(int(offs[-1]), np.uint8)
+    rows = np.arange(n, dtype=np.int64)
+    D = digs.shape[1]
+    for k in range(D):
+        m = k < ndig
+        flat[offs[:-1][m] + k] = digs[rows[m], D - ndig[m] + k]
+    return flat, offs
+
+
 def rank_count_column(counts: np.ndarray):
     """The collapser's ``rank-count`` id column, vectorized (the Python
     b"%d-%d" loop is ~2 s per million records; this is ~20 numpy passes).

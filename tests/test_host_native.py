@@ -359,3 +359,14 @@ def test_cli_fasta_line_fast_path_matches_classic(tool, flags, monkeypatch):
     monkeypatch.delenv("FASTX_TPU_NO_LINEPATH", raising=False)
     e = util.run_tool(mod, ["-Q", "33", *flags], stdin=b">a\nAC\nGT\n")
     assert e.status != 0 and "multi-line FASTA" in e.stderr
+
+
+def test_ordinal_column_matches_python():
+    from fastx_toolkit_tpu.ops.collapse import ordinal_column
+
+    for start, n in ((0, 1), (0, 1234), (998, 10), (10 ** 7 - 3, 7), (5, 0)):
+        flat, offs = ordinal_column(start, n)
+        want = b"".join(b"%d" % (start + i + 1) for i in range(n))
+        assert flat.tobytes() == want
+        lens = [len(b"%d" % (start + i + 1)) for i in range(n)]
+        assert np.array_equal(np.diff(offs), np.array(lens, np.int64))
