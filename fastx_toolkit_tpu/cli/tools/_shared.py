@@ -55,13 +55,25 @@ def line_fast_path(reader, args):
     for clean chunks whose bytes pass the reference's validation —
     anything else (numeric qualities, multi-line FASTA, framing or byte
     errors) must go through ``reader.parse_chunk`` so the error text
-    matches the reference byte for byte (fastx.c:314-404)."""
+    matches the reference byte for byte (fastx.c:314-404).
+
+    Whether the fast path is used at all is the shared engine policy's
+    call (engine.policy, kind 'per-read'); FASTX_TPU_NO_LINEPATH=1 or
+    FASTX_LINEPATH=off force the classic parse -> device path."""
     import os as _os
 
     from ...core import codec as _codec
     from ...core import native as _native
+    from ...engine import policy as _policy
 
-    if _native.LIB is None or _os.environ.get("FASTX_TPU_NO_LINEPATH"):
+    override = _os.environ.get("FASTX_LINEPATH")
+    if _os.environ.get("FASTX_TPU_NO_LINEPATH"):
+        override = "off"
+    if override == "off":
+        override = "device"
+    elif override == "on":
+        override = "host"
+    if _policy.resolve("per-read", override) != "host":
         return None
     allowed = _codec.allowed_table_u8(reader.allow_n, reader.allow_u, False)
 

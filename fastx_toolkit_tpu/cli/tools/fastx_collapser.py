@@ -50,16 +50,13 @@ USAGE = (
 
 
 def collapse_path() -> str:
-    p = os.environ.get("FASTX_COLLAPSE_PATH", "auto")
-    if p == "device":
-        return "device"
-    if p == "host":
-        if native.LIB is None:
-            raise RuntimeError(
-                "FASTX_COLLAPSE_PATH=host requires the native codec library"
-            )
-        return "host"
-    return "host" if native.LIB is not None else "device"
+    """FASTX_COLLAPSE_PATH=host|device overrides the shared link-aware
+    policy (engine.policy: device sort+segment-reduce on a PCIe-local
+    chip, native sharded hash on a tunnel/CPU rig).  Outputs are
+    identical either way (tests/test_host_native.py)."""
+    from ...engine import policy
+
+    return policy.resolve("collapse", os.environ.get("FASTX_COLLAPSE_PATH"))
 
 
 def tool_main(ctx: CliContext, argv) -> int:

@@ -1,0 +1,101 @@
+"""One link-aware engine-dispatch policy for every dual-engine surface.
+
+Several tools have two byte-identical engines — a fused host-native C++
+pass and a device (XLA/Pallas) kernel — and the right default depends on
+the *link* between host and chip, not on the tool:
+
+* ``stats``      — fastx_quality_stats histogram accumulation
+                   (ops/stats.py: fx_stats_lines_q vs the MXU one-hot
+                   histogram; reference loop
+                   /root/reference/src/fastx_quality_stats/fastx_quality_stats.c:166-216)
+* ``collapse``   — fastx_collapser dedup (native sharded hash fx_dedup_*
+                   vs the device lexsort+segment-sum; reference
+                   /root/reference/src/fastx_collapser/fastx_collapser.cpp:112-122)
+* ``per-read``   — the six per-read CLI tools' raw-line fast path
+                   (native decide+render from line spans) vs the classic
+                   parse -> device-transform path.
+
+Policy (the auto mode):
+
+* **cpu / tunnel-attached TPU** -> ``host`` whenever the native library
+  is available.  Shipping the raw operands over a ~20 MB/s tunnel was
+  the round-2 loss (BASELINE.md round-2 table); the host engines run at
+  ~1M+ reads/sec.
+* **PCIe-local TPU** -> ``device`` for the reductions (stats, collapse):
+  their operand uploads are ~10 ms at PCIe bandwidth and the device
+  kernels run millions of reads/sec (BASELINE.md --device table).
+* **per-read tools** -> ``host`` on every rig *by measurement*: a single
+  per-read tool is bounded by the host parse/render legs either way, and
+  the raw-line decide pass (1.13M r/s measured, BASELINE.md host-codec
+  ceiling) outruns the classic padded-matrix parse that the device path
+  requires (~0.7M r/s) even with a free link.  The device only wins when
+  many stages fuse into one program — that is the fastx_pipeline CLI,
+  which always rides the device.  ``FASTX_LINEPATH=off`` forces the
+  classic device path for differential testing.
+
+Every surface keeps its historical env override (FASTX_STATS_PATH,
+FASTX_COLLAPSE_PATH, FASTX_TPU_NO_LINEPATH) on top of this shared auto.
+"""
+
+from __future__ import annotations
+
+import os
+
+_KINDS = ("stats", "collapse", "per-read")
+
+
+def backend_kind() -> str:
+    """'cpu' | 'tpu-local' | 'tpu-tunnel' for the default jax backend.
+
+    The axon tunnel used on development rigs registers its platform as
+    'axon' (or as 'tpu' with tunnel env markers set); a production
+    PCIe/DMA-attached chip is platform 'tpu' with none of the markers.
+    """
+    import jax
+
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+    if plat not in ("tpu", "axon"):
+        return "cpu"
+    tunnel = plat == "axon" or bool(
+        os.environ.get("PALLAS_AXON_POOL_IPS")
+        or "axon" in os.environ.get("JAX_PLATFORMS", "")
+    )
+    return "tpu-tunnel" if tunnel else "tpu-local"
+
+
+def engine_auto(kind: str) -> str:
+    """'host' or 'device' for a dual-engine surface (the shared auto
+    policy; see module docstring for the rationale and measurements)."""
+    from ..core import native
+
+    if kind not in _KINDS:
+        raise ValueError("unknown engine kind %r" % (kind,))
+    if native.LIB is None:
+        return "device"
+    if kind == "per-read":
+        # host raw-line decide outruns the classic device path on every
+        # rig (module docstring); FASTX_LINEPATH=off overrides
+        return "host"
+    return "device" if backend_kind() == "tpu-local" else "host"
+
+
+def resolve(kind: str, override: str | None) -> str:
+    """Apply an explicit override ('host'/'device'/'auto'/None) over the
+    auto policy, validating that a forced host engine is available."""
+    from ..core import native
+
+    if override in (None, "", "auto"):
+        return engine_auto(kind)
+    if override == "host":
+        if native.LIB is None:
+            raise RuntimeError(
+                "engine override 'host' for %s requires the native codec "
+                "library" % kind
+            )
+        return "host"
+    if override == "device":
+        return "device"
+    raise ValueError("bad engine override %r for %s" % (override, kind))

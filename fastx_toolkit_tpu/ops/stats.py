@@ -349,37 +349,16 @@ def host_accumulate(bases, quals, lengths, counts, *, is_fastq: bool):
 def stats_path() -> str:
     """'host' or 'device' accumulation for the stats CLI.
 
-    FASTX_STATS_PATH=host|device overrides.  Auto: the device path wins
-    when the chip is PCIe-local (platform 'tpu': the ~125 MB/1M-read
-    quality upload is ~10 ms there and the Pallas histogram runs millions
-    of reads/sec); the host C++ kernel wins when the device link is a
-    tunnel (platform 'axon', ~20 MB/s measured) or the backend is CPU.
-    Both paths produce bit-identical accumulators (tests/test_stats_kernel.py).
+    FASTX_STATS_PATH=host|device overrides the shared link-aware policy
+    (engine.policy: device on a PCIe-local chip, host C++ kernel on a
+    tunnel/CPU rig).  Both paths produce bit-identical accumulators
+    (tests/test_stats_kernel.py).
     """
     import os
 
-    from ..core import native
+    from ..engine import policy
 
-    p = os.environ.get("FASTX_STATS_PATH", "auto")
-    if p == "device":
-        return "device"
-    if p == "host":
-        if native.LIB is None:
-            raise RuntimeError(
-                "FASTX_STATS_PATH=host requires the native codec library"
-            )
-        return "host"
-    if native.LIB is None:
-        return "device"
-    # the axon tunnel registers as platform 'tpu', so detect it by its
-    # env markers (a PCIe-local deployment has neither)
-    tunnel = bool(
-        os.environ.get("PALLAS_AXON_POOL_IPS")
-        or "axon" in os.environ.get("JAX_PLATFORMS", "")
-    )
-    if tunnel:
-        return "host"
-    return "device" if jax.devices()[0].platform == "tpu" else "host"
+    return policy.resolve("stats", os.environ.get("FASTX_STATS_PATH"))
 
 
 def accumulate_dispatch(bases, quals, lengths, counts, *, is_fastq: bool):
