@@ -28,13 +28,49 @@ _i8p = ctypes.POINTER(ctypes.c_int8)
 _NT = int(os.environ.get("FASTX_NATIVE_THREADS", "0"))
 
 
-def _build() -> bool:
+_CXXFLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-pthread"]
+_META = _SO + ".meta"
+
+
+def _build_key() -> str:
+    """Content+toolchain+microarchitecture key for the built artifact.
+
+    The library compiles with -march=native, so a binary built on one
+    host can be illegal instructions on another; keying the rebuild on
+    (source sha256, flags, machine, g++ version, -march=native target
+    flags) instead of file mtimes means a stale or foreign .so is always
+    rebuilt, never loaded (VERDICT r3 item #7)."""
+    import hashlib
+    import platform
+
+    h = hashlib.sha256()
+    with open(_SRC, "rb") as fh:
+        h.update(fh.read())
+    h.update(" ".join(_CXXFLAGS).encode())
+    h.update(platform.machine().encode())
+    try:
+        probe = subprocess.run(
+            ["g++", "-march=native", "-E", "-v", "-x", "c++", "/dev/null"],
+            capture_output=True, timeout=30,
+        )
+        # the cc1plus invocation line carries the resolved -march/-mtune
+        # and feature flags for THIS host's microarchitecture
+        for line in probe.stderr.decode(errors="replace").splitlines():
+            if "cc1plus" in line or line.startswith("gcc version"):
+                h.update(line.encode())
+    except Exception:
+        h.update(b"no-g++-probe")
+    return h.hexdigest()
+
+
+def _build(key: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-             "-o", _SO, _SRC],
+            ["g++", *_CXXFLAGS, "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        with open(_META, "w") as fh:
+            fh.write(key)
         return True
     except Exception:
         return False
@@ -43,8 +79,19 @@ def _build() -> bool:
 def _load():
     if not os.path.exists(_SRC):
         return None
-    if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
+    try:
+        key = _build_key()
+    except OSError:
+        return None
+    stale = True
+    if os.path.exists(_SO) and os.path.exists(_META):
+        try:
+            with open(_META) as fh:
+                stale = fh.read().strip() != key
+        except OSError:
+            stale = True
+    if stale:
+        if not _build(key):
             return None
     try:
         lib = ctypes.CDLL(_SO)
