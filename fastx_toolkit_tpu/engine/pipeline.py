@@ -367,13 +367,212 @@ def packed_pipeline_body(b4, planes, lengths, counts, cfg: PipelineConfig,
     return l, keep, count
 
 
+# ---------------------------------------------------------------------------
+# Fully-packed decisions path: no unpacked [B, L] representation anywhere
+# ---------------------------------------------------------------------------
+#
+# The round-3 packed pipeline still unpacked everything ON DEVICE: bool
+# [B, T, L] quality planes, ASCII bases, and an int32 [L, B] transpose
+# feeding the DP kernel — ~2 KB of HBM round-trips per 100 bp read for a
+# decisions output of 5 bytes.  This path keeps every operand packed:
+#
+# * quality filter  — popcount over the `qual < q` plane bytes;
+# * quality trimmer — last passing position via lowest-set-bit tricks on
+#   the plane bytes (the 3' run boundary), no bit unpack;
+# * masker          — its only decision-path effect is "masked positions
+#   look like N downstream"; that is one byte-OR into the N plane;
+# * clipper DP      — kernels/align_pallas.py::align_batch_pallas_packed
+#   reads the 2-bit words + the N|mask plane words directly;
+# * artifacts/N     — kernels/counts_pallas.py::packed_counts_pallas.
+#
+# Decisions are bit-identical to packed_pipeline_body (tests/
+# test_packed_fast.py); FASTX_TPU_NO_PACKED_DECIDE=1 forces the old
+# body for differential debugging.
+
+
+def _valid_bits_mask(l, nb: int):  # noqa: E741
+    """[B] lengths -> [B, nb] uint8: the MSB-first valid-bit mask of each
+    plane byte (bit k of byte b covers position 8*b + (7-k))."""
+    bi = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    nvalid = jnp.clip(l[:, None].astype(jnp.int32) - 8 * bi, 0, 8)
+    return ((jnp.int32(0xFF00) >> nvalid) & 0xFF).astype(jnp.uint8)
+
+
+def _words_T(bytes2d, need_bytes: int):
+    """[B, nb] uint8 -> [need_bytes//4, B] uint32 (little-endian words,
+    zero-padded columns, transposed for the packed kernels)."""
+    B, nb = bytes2d.shape
+    if nb < need_bytes:
+        bytes2d = jnp.concatenate(
+            [bytes2d, jnp.zeros((B, need_bytes - nb), jnp.uint8)], axis=1
+        )
+    elif nb > need_bytes:
+        bytes2d = bytes2d[:, :need_bytes]
+    w = jax.lax.bitcast_convert_type(
+        bytes2d.reshape(B, need_bytes // 4, 4), jnp.uint32
+    )
+    return w.T
+
+
+def _pad_rows(a, Bp: int):
+    if a.shape[-1] == Bp:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, Bp - a.shape[-1])]
+    return jnp.pad(a, pad)
+
+
+def packed_fast_ok(cfg: PipelineConfig, two_bit: bool, B: int, Le: int) -> bool:
+    """Static (trace-time) gate for the fully-packed decisions body."""
+    import os
+
+    from ..kernels.align_pallas import (
+        adapter_codes,
+        pallas_bounds_ok,
+        tile_for,
+    )
+
+    if not two_bit or cfg.with_stats:
+        return False
+    if os.environ.get("FASTX_TPU_NO_PACKED_DECIDE"):
+        return False
+    force = os.environ.get("FASTX_TPU_PACKED_DECIDE") == "force"
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon") and not force:
+        return False
+    if B < 1024 and not force:
+        return False
+    if B % 1024 != 0:
+        return False
+    if Le > 2048:  # full word columns live in VMEM (align_pallas specs)
+        return False
+    if cfg.with_clip:
+        H = len(cfg.adapter)
+        if adapter_codes(cfg.adapter) is None:
+            return False
+        if not pallas_bounds_ok(Le, H) or tile_for(H) is None:
+            return False
+    return True
+
+
+def packed_fast_body(b2, planes, lengths, cfg: PipelineConfig,
+                     has_n_plane: bool):
+    """The fully-packed decisions step (see block comment above).
+    Returns (l, keep, count) exactly like packed_pipeline_body."""
+    import os
+
+    from ..kernels.align_pallas import align_batch_pallas_packed, tile_for
+    from ..kernels.counts_pallas import packed_counts_pallas
+    from ..ops.clipper import (
+        adapter_cutoff_index,
+        clip_cut_lengths,
+        clip_write_mask,
+    )
+
+    interp = jax.devices()[0].platform not in ("tpu", "axon")
+    B, nb4 = b2.shape
+    Le = nb4 * 4
+    nb8 = planes.shape[2]
+    thr = {t: i for i, t in enumerate(_thresholds(cfg))}
+    base = 1 if has_n_plane else 0
+    l = lengths.astype(jnp.int32)  # noqa: E741
+    keep = jnp.ones(B, dtype=bool)
+
+    if cfg.trim_last != 0:  # fastx_trimmer -l
+        l = jnp.minimum(l, cfg.trim_last)  # noqa: E741
+    vmask = _valid_bits_mask(l, nb8)
+
+    if cfg.with_filter:
+        pf = planes[:, base + thr[cfg.filter_q]] & vmask
+        below = jax.lax.population_count(pf).sum(axis=1).astype(jnp.int32)
+        keep &= below <= (l * (100 - cfg.filter_p)) // 100
+
+    if cfg.with_qtrim:
+        # last position with `qual >= t` within l: per byte, the lowest
+        # set bit of the masked pass-bits is the highest such position
+        pt = planes[:, base + thr[cfg.trim_q]]
+        v = ((~pt) & vmask).astype(jnp.int32)
+        low = v & -v
+        tz = jax.lax.population_count(low - 1)  # log2(low) when v != 0
+        bi = jnp.arange(nb8, dtype=jnp.int32)[None, :]
+        cand = jnp.where(v > 0, 8 * bi + 8 - tz, 0)
+        new_l = jnp.max(cand, axis=1).astype(jnp.int32)
+        keep &= (new_l > 0) & (new_l >= cfg.trim_minlen)
+        l = new_l  # noqa: E741
+
+    # effective-N plane: input Ns OR masked positions (the masker's only
+    # decision-path effect); positions beyond the read are 0 by packing
+    parts = []
+    if has_n_plane:
+        parts.append(planes[:, 0])
+    if cfg.with_mask:
+        parts.append(planes[:, base + thr[cfg.mask_q]])
+    nmb = None
+    for p in parts:
+        nmb = p if nmb is None else (nmb | p)
+
+    need_counts = (
+        cfg.with_artifacts
+        or cfg.to_fasta_discard_n
+        or (cfg.with_clip and not cfg.clip_keep_n)
+    )
+    i_cut = None
+    if cfg.with_clip or need_counts:
+        L32 = -(-Le // 32) * 32
+        tile = tile_for(len(cfg.adapter)) if cfg.with_clip else 2048
+        Bp = -(-B // tile) * tile
+        b2w = _pad_rows(_words_T(b2, L32 // 4), Bp)
+        nmw = None if nmb is None else _pad_rows(_words_T(nmb, L32 // 8), Bp)
+        l_p = _pad_rows(l, Bp)
+
+    if cfg.with_clip:
+        res = align_batch_pallas_packed(
+            b2w, nmw, l_p, cfg.adapter, L=Le, tile_b=tile, interpret=interp
+        )
+        if Bp != B:
+            res = {k: v[:B] for k, v in res.items()}
+        i_cut = adapter_cutoff_index(res, l, min_adapter_len=0)
+        new_len = clip_cut_lengths(i_cut, l, 0)
+    else:
+        new_len = l
+
+    has_n = jnp.zeros(B, dtype=bool)
+    worst = None
+    if need_counts:
+        worst, ncnt = packed_counts_pallas(
+            b2w, nmw, _pad_rows(new_len, Bp), tile_b=tile, interpret=interp
+        )
+        worst, ncnt = worst[:B], ncnt[:B]
+        has_n = ncnt > 0
+
+    if cfg.with_clip:
+        keep &= clip_write_mask(
+            i_cut, new_len, has_n, min_length=cfg.clip_minlen,
+            keep_n=cfg.clip_keep_n,
+        )
+        l = new_len  # noqa: E741
+    if cfg.with_artifacts:
+        keep &= ~(worst >= l - 3)
+    if cfg.to_fasta_discard_n:
+        keep &= ~has_n
+    l = jnp.where(keep, l, 0)  # noqa: E741
+    count = jnp.zeros((Le, stats_ops.NSLOTS), jnp.int32)
+    return l, keep, count
+
+
 def packed_decisions_pipeline(cfg: PipelineConfig,
                               seq_len: Optional[int] = None,
                               two_bit: bool = False,
                               has_n_plane: Optional[bool] = None):
     """decisions_pipeline over the packed upload (see pack_batch /
     pack_batch2).  When ``cfg.with_stats`` is off the step takes no
-    counts argument (it would be dead weight on the device link)."""
+    counts argument (it would be dead weight on the device link).
+
+    2-bit batches of TPU-worthy size take the fully-packed body
+    (packed_fast_body) — no unpacked [B, L] representation is ever
+    materialized; other shapes take the original unpack body.  Both are
+    decision-identical (tests/test_packed_fast.py)."""
+
+    hnp = two_bit if has_n_plane is None else has_n_plane
 
     if cfg.with_stats:
         def step(b4, planes, lengths, counts):
@@ -382,6 +581,8 @@ def packed_decisions_pipeline(cfg: PipelineConfig,
                                         has_n_plane=has_n_plane)
     else:
         def step(b4, planes, lengths):
+            if packed_fast_ok(cfg, two_bit, b4.shape[0], b4.shape[1] * 4):
+                return packed_fast_body(b4, planes, lengths, cfg, hnp)
             return packed_pipeline_body(b4, planes, lengths, None, cfg,
                                         seq_len=seq_len, two_bit=two_bit,
                                         has_n_plane=has_n_plane)

@@ -2,15 +2,16 @@
 
 Same contract as align.align_batch (see its docstring for the algorithm
 and the tie-break derivation), but the whole DP runs on-chip: the grid is
-(batch_tiles, L) — TPU grid steps execute sequentially, so the per-column
-state (score + two bit-packed path-statistic planes, [H_pad, TILE_B]
-int32) lives in VMEM scratch across all L column steps of a tile.  HBM
-traffic is just the input bases column blocks (pipelined by Pallas) and
-eight [TILE_B] output vectors; the XLA scan version round-trips its
-carry through HBM every step, ~25x more traffic than the whole input.
+(batch_tiles, L/8) — TPU grid steps execute sequentially, so the
+per-column state (score + two bit-packed path-statistic planes,
+[H_pad, TILE_B] int32) lives in VMEM scratch across all column steps of
+a tile.  HBM traffic is just the input bases column blocks (pipelined by
+Pallas) and eight [TILE_B] output vectors; the XLA scan version
+round-trips its carry through HBM every step, ~25x more traffic than the
+whole input.
 
 Layout: bases are pre-transposed to [L, B] int32 so each grid step's
-block is one [1, TILE_B] lane row; the batch rides the 128-wide lane
+block is one [8, TILE_B] lane row; the batch rides the 128-wide lane
 axis, the adapter dimension rides sublanes.  The in-column up-chain max
 is a Hillis-Steele scan (log2(H_pad) shift+combine rounds) over three
 planes: a key = 2*(gap-adjusted score) + winner-was-upper-left —
@@ -20,6 +21,27 @@ packed payload planes carrying matches/mismatches/neutral/target_start
 and query_start/gaps (pure selects in the scan, so packing them is
 free; it cuts the kernel's vector-op count nearly in half vs one plane
 per statistic).
+
+Round-4 restructuring (VERDICT r3 item #1 — drive the kernel toward its
+VPU roofline):
+
+* **Uniform columns.**  The first-column special case is gone: the
+  column-state scratch is initialized to a virtual column -1 holding the
+  target border scores (reset_matrix, sequence_alignment.cpp:340-363)
+  and border path stats, so every real column runs the same code.  (The
+  LEFT candidate sourced from the border column can never win — it is
+  strictly below the UL candidate from the same border for every row —
+  so only the UL/diagonal view of the init state matters; the init
+  encodes exactly that.)
+* **Per-row running best.**  Instead of an argmax + payload pick per
+  column (~20 vector ops), each row tracks its own first-strict-best
+  (score, P1, P2, x) with one compare + four selects; a single
+  lexicographic reduce at the last grid step recovers the C's
+  first-(x, then y)-wins global max (populate_matrix tracks the max
+  during the fill, sequence_alignment.cpp:419-426).
+* **Column skipping.**  A per-tile max-length scalar gates the whole
+  column body, so a tile of short reads stops issuing vector work at its
+  own width instead of the batch-wide padded width.
 """
 
 from __future__ import annotations
@@ -35,9 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .align import GAP, MATCH, MISMATCH, NEUTRAL, _N
 
 NEG = -1000000
+NEG_BEST = -10000000
 
-# rows of the best-state scratch
-_BEST, _BP1, _BP2, _BX, _BY = range(5)
+# planes of the per-row best-state scratch
+_BSC, _BP1, _BP2, _BX = range(4)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,10 +83,48 @@ def pallas_bounds_ok(L: int, H: int) -> bool:
     return H <= 255 and L + H + _h_pad(H) < (1 << 15)
 
 
-def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
-    nscan = max(1, int(np.ceil(np.log2(H_pad))))
+def tile_for(H: int) -> int | None:
+    """Batch-tile width for an adapter, or None when the kernel would
+    not fit VMEM and the caller must use the XLA engine.
 
-    def kernel(bases_ref, lengths_ref, t_ref,
+    The kernel's VMEM footprint is dominated by the 7 [H_pad, tile_b]
+    int32 scratch planes plus Mosaic stack temporaries of the same shape
+    (measured ~2x the scratch on v5e); tiles below 1024 are off the menu
+    because the rank-1 lengths/output operands carry an XLA layout tile
+    of 1024 elements that Mosaic block shapes must be a multiple of."""
+    H_pad = _h_pad(H)
+    if H_pad <= 80:
+        return 2048
+    if H_pad <= 160:
+        return 1024
+    return None
+
+
+def scan_window(H: int, H_pad: int) -> int:
+    """Up-chain scan window: 1 + the longest gap run that can matter.
+
+    Any path achieving the matrix max M satisfies
+    ``50*gaps <= 10*matches + neutral - M <= 10*H + 10`` — the positive
+    contribution is at most 10*H (matches+neutrals share the <= H
+    diagonal steps) and M >= -10 because cell (0,0) is always a fresh
+    diagonal with delta >= MISMATCH.  So every path that ties or sets the
+    max carries at most (10*H+10)//50 gap moves TOTAL, which bounds every
+    in-column up-run on such a path.  Truncating the Hillis-Steele scan
+    to that window only *under*-estimates cells whose true value is
+    below the max (their chains are longer than any max-achieving path's
+    budget), and underestimates propagate downstream as further
+    underestimates — the global argmax, its tie-breaks, and the winning
+    path statistics are all exact.  For the reference's default adapters
+    this cuts the scan from log2(H_pad) rounds to 1-3."""
+    max_gaps = (10 * H + 10) // (-GAP)
+    return min(H_pad, max_gaps + 1)
+
+
+def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
+    window = scan_window(H, H_pad)
+    nscan = max(1, int(np.ceil(np.log2(window))))
+
+    def kernel(maxlen_ref, bases_ref, lengths_ref, t_ref,
                m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
                col_scr, best_scr):
         # col_scr: [3, H_pad, tile_b] previous-column planes (sc, P1, P2)
@@ -76,49 +137,61 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
         #   P2 = query_start | gaps<<16
         #        (query_start <= L < 2^15; gaps <= L + H, checked by the
         #        caller to fit the field with the scan bias added)
-        # best_scr: [8, tile_b] (5 used)
+        # best_scr: [4, H_pad, tile_b] per-row running best
+        #   (score, P1, P2, x of first strict improvement)
         # each grid step handles COLS_PER_STEP=8 statically-unrolled
         # columns (Mosaic requires sublane-divisible blocks)
         xg = pl.program_id(1)
+        tile_maxlen = maxlen_ref[pl.program_id(0)]
         tc = t_ref[:]  # [H_pad, 1]
         t_is_n = tc == _N
         ys = jax.lax.broadcasted_iota(jnp.int32, (H_pad, 1), 0)
         ysb = jnp.broadcast_to(ys, (H_pad, tile_b))
-        row_valid = ys < H
+        row0 = ys == 0
         target_border = jnp.where(ys <= 3, 0, GAP * (ys - 3)).astype(jnp.int32)
         gap_y = GAP * ys
         key_gap2 = 2 * gap_y  # [H_pad, 1]
         # scan bias keeping P2's gap field positive while the up-chain
         # invariant (gaps - y) rides it: H_pad - ys >= 1
         bias_col = (H_pad - ys) << 16  # [H_pad, 1]
-        ts_init = ysb << 24  # fresh-path target_start = current row
-        lengths = lengths_ref[:]
+        lengths = lengths_ref[:]  # [tile_b]
 
         @pl.when(xg == 0)
         def _init():
-            best_scr[_BEST, :] = jnp.full((tile_b,), -10000000, jnp.int32)
-            for k in (_BP1, _BP2, _BX, _BY):
-                best_scr[k, :] = jnp.zeros((tile_b,), jnp.int32)
+            # virtual column -1: the target-border column.  Its UL view
+            # (what column 0's diagonal/up moves read after shift_down)
+            # must equal the border scores and fresh-path stats; its LEFT
+            # view is irrelevant because a border-sourced LEFT candidate
+            # strictly loses to the border-sourced UL candidate at every
+            # row (see module docstring).
+            col_scr[0] = jnp.broadcast_to(target_border, (H_pad, tile_b))
+            # shift_down(pP1)[y] must read ts_init[y] = y<<24, so the
+            # init plane holds (y+1)<<24 (row H_pad-1 is never read)
+            col_scr[1] = jnp.broadcast_to((ys + 1) << 24, (H_pad, tile_b))
+            col_scr[2] = jnp.zeros((H_pad, tile_b), jnp.int32)
+            best_scr[_BSC] = jnp.full((H_pad, tile_b), NEG_BEST, jnp.int32)
+            for k in (_BP1, _BP2, _BX):
+                best_scr[k] = jnp.zeros((H_pad, tile_b), jnp.int32)
 
-        for j in range(8):
-          x = xg * 8 + j
-          if True:
+        @pl.when(xg * 8 < tile_maxlen)
+        def _cols():
+          for j in range(8):
+            x = xg * 8 + j
             qc = bases_ref[j, :][None, :]  # [1, tile_b] int32
             q_is_n = qc == _N
             one_n = q_is_n | t_is_n
             eq = qc == tc
+            # exactly one of {neutral, match, mismatch} per cell; the
+            # both-N cell scores 0 but still counts as a neutral
+            # (match_value 'N', sequence_alignment.h:125-131)
             delta = jnp.where(
                 q_is_n & t_is_n, 0,
                 jnp.where(one_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)),
             )
-            incP1 = (
-                (~one_n & eq).astype(jnp.int32)
-                + ((~one_n & ~eq).astype(jnp.int32) << 8)
-                + (one_n.astype(jnp.int32) << 16)
-            )
+            incP1 = jnp.where(
+                one_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
+            ).astype(jnp.int32)
 
-            first_col = x == 0
-            tb_full = jnp.broadcast_to(target_border, (H_pad, tile_b))
             psc = col_scr[0]
             pP1 = col_scr[1]
             pP2 = col_scr[2]
@@ -128,18 +201,18 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
                     [jnp.zeros((1, tile_b), a.dtype), a[:-1]], axis=0
                 )
 
-            # upper-left candidate (fresh paths restart: stats 0, qs=x,
-            # ts=current row)
-            fresh_ul = first_col | (ys == 0)
-            ul_sc = jnp.where(first_col, shift_down(tb_full), shift_down(psc)) + delta
-            ul_P1 = jnp.where(fresh_ul, ts_init, shift_down(pP1)) + incP1
-            ul_P2 = jnp.where(fresh_ul, x, shift_down(pP2))
+            # upper-left candidate; row 0's diagonal source is the query
+            # border (score 0, fresh stats qs=x, ts=0) — the shift's
+            # zero-fill provides the score and P1 parts for free
+            ul_sc = shift_down(psc) + delta
+            ul_P1 = shift_down(pP1) + incP1
+            ul_P2 = jnp.where(row0, x, shift_down(pP2))
 
             # left candidate (with off-diagonal ban); gaps += 1
             ban = (ys > 3) & (ys - 3 > x)
-            left_sc = jnp.where(ban, NEG, jnp.where(first_col, tb_full, psc) + GAP)
-            left_P1 = jnp.where(first_col, ts_init, pP1)
-            left_P2 = jnp.where(first_col, x, pP2) + (1 << 16)
+            left_sc = jnp.where(ban, NEG, psc + GAP)
+            left_P1 = pP1
+            left_P2 = pP2 + (1 << 16)
 
             # resolve UL vs LEFT (UL wins ties: the C checks UL first).
             # The winner-was-upper-left flag is folded into the key's low
@@ -152,7 +225,6 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
             # y==0 border-up candidate (priority UP: beats LEFT ties only;
             # in key space: 2*GAP >= e_key  <=>  GAP > e_sc, or
             # GAP == e_sc with e_ul == 0)
-            row0 = ys == 0
             up0_better = row0 & (2 * GAP >= e_key)
             e_key = jnp.where(up0_better, 2 * GAP, e_key)
             e_P1 = jnp.where(up0_better, 0, e_P1)
@@ -167,7 +239,7 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
             state = (akey, e_P1, aP2)
             for i in range(nscan):
                 sh = 1 << i
-                if sh >= H_pad:
+                if sh >= window:
                     break
                 shifted = tuple(
                     jnp.concatenate(
@@ -189,41 +261,302 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
             col_scr[1] = cP1
             col_scr[2] = cP2
 
-            # column argmax (first y wins ties), rows >= H excluded
-            curm = jnp.where(row_valid, cur, NEG)
-            col_best = jnp.max(curm, axis=0)  # [tile_b]
-            ymask = curm == col_best[None, :]
-            col_by = jnp.min(jnp.where(ymask, ysb, H_pad), axis=0)
-            sel = ysb == col_by[None, :]
+            # per-row running best: first strict improvement wins, and
+            # columns at/beyond the read length never improve
+            improve = (cur > best_scr[_BSC]) & (x < lengths)[None, :]
+            best_scr[_BSC] = jnp.where(improve, cur, best_scr[_BSC])
+            best_scr[_BP1] = jnp.where(improve, cP1, best_scr[_BP1])
+            best_scr[_BP2] = jnp.where(improve, cP2, best_scr[_BP2])
+            best_scr[_BX] = jnp.where(improve, x, best_scr[_BX])
+
+        @pl.when(xg == pl.num_programs(1) - 1)
+        def _finish():
+            # lexicographic global best: max score, then smallest x of
+            # first attainment, then smallest row — exactly the C's
+            # x-major-then-y fill-order "first strictly greater" winner
+            sc = jnp.where(ys < H, best_scr[_BSC], NEG_BEST - 1)
+            m = jnp.max(sc, axis=0)  # [tile_b]
+            cand = sc == m[None, :]
+            bx = best_scr[_BX]
+            minbx = jnp.min(jnp.where(cand, bx, jnp.int32(1 << 30)), axis=0)
+            cand &= bx == minbx[None, :]
+            ymin = jnp.min(jnp.where(cand, ysb, H_pad), axis=0)
+            sel = ysb == ymin[None, :]
 
             def pick(a):
                 return jnp.sum(jnp.where(sel, a, 0), axis=0)
 
-            improve = (x < lengths) & (col_best > best_scr[_BEST, :])
-
-            def upd(k, new):
-                best_scr[k, :] = jnp.where(improve, new, best_scr[k, :])
-
-            upd(_BEST, col_best)
-            upd(_BP1, pick(cP1))
-            upd(_BP2, pick(cP2))
-            upd(_BX, jnp.full((tile_b,), 1, jnp.int32) * x)
-            upd(_BY, col_by)
-
-        @pl.when(xg == pl.num_programs(1) - 1)
-        def _finish():
-            bp1 = best_scr[_BP1, :]
-            bp2 = best_scr[_BP2, :]
+            bp1 = pick(best_scr[_BP1])
+            bp2 = pick(best_scr[_BP2])
             m_ref[:] = bp1 & 0xFF
             mm_ref[:] = (bp1 >> 8) & 0xFF
             nm_ref[:] = (bp1 >> 16) & 0xFF
             ts_ref[:] = (bp1 >> 24) & 0xFF
             qs_ref[:] = bp2 & 0xFFFF
             g_ref[:] = bp2 >> 16  # fields are non-negative: plain shift
-            qe_ref[:] = best_scr[_BX, :]
-            te_ref[:] = best_scr[_BY, :]
+            qe_ref[:] = pick(bx)
+            te_ref[:] = jnp.where(ymin == H_pad, 0, ymin)
 
     return kernel
+
+
+def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
+                        has_nm: bool):
+    """Packed-operand variant of _make_kernel: bases arrive as the 2-bit
+    upload words (16 codes per uint32, the pack_batch2 byte layout seen
+    little-endian) and the N/mask positions as 1-bit plane words (32
+    positions per uint32).  The DP planes and scan are identical to the
+    unpacked kernel; only the per-column query fetch differs — a couple
+    of [tile_b] row ops replacing an entire XLA unpack + int32-transpose
+    materialization (~420 B/read of HBM traffic).  32 columns per grid
+    step (one nm word)."""
+    window = scan_window(H, H_pad)
+    nscan = max(1, int(np.ceil(np.log2(window))))
+
+    def kernel(*refs):
+        if has_nm:
+            (maxlen_ref, bases_ref, nmw_ref, lengths_ref, t_ref, *rest) = refs
+        else:
+            (maxlen_ref, bases_ref, lengths_ref, t_ref, *rest) = refs
+            nmw_ref = None
+        (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
+         col_scr, best_scr) = rest
+        xg = pl.program_id(1)
+        tile_maxlen = maxlen_ref[pl.program_id(0)]
+        tc = t_ref[:]  # [H_pad, 1] codes: A0 C1 G2 T3, N=4, pad=5
+        t_is_n = tc == 4
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H_pad, 1), 0)
+        ysb = jnp.broadcast_to(ys, (H_pad, tile_b))
+        row0 = ys == 0
+        target_border = jnp.where(ys <= 3, 0, GAP * (ys - 3)).astype(jnp.int32)
+        gap_y = GAP * ys
+        key_gap2 = 2 * gap_y
+        bias_col = (H_pad - ys) << 16
+        lengths = lengths_ref[:]  # [tile_b]
+
+        @pl.when(xg == 0)
+        def _init():
+            col_scr[0] = jnp.broadcast_to(target_border, (H_pad, tile_b))
+            col_scr[1] = jnp.broadcast_to((ys + 1) << 24, (H_pad, tile_b))
+            col_scr[2] = jnp.zeros((H_pad, tile_b), jnp.int32)
+            best_scr[_BSC] = jnp.full((H_pad, tile_b), NEG_BEST, jnp.int32)
+            for k in (_BP1, _BP2, _BX):
+                best_scr[k] = jnp.zeros((H_pad, tile_b), jnp.int32)
+
+        @pl.when(xg * 32 < tile_maxlen)
+        def _cols():
+          if has_nm:
+              wn = nmw_ref[xg, :].astype(jnp.int32)  # 32 plane bits
+          for j in range(32):
+            x = xg * 32 + j
+            wb = bases_ref[2 * xg + j // 16, :].astype(jnp.int32)
+            shift = 8 * ((j // 4) % 4) + (6 - 2 * (j % 4))
+            code = ((wb >> shift) & 3)[None, :]
+            eq = code == tc
+            if has_nm:
+                nshift = 8 * ((j // 8) % 4) + (7 - (j % 8))
+                q_is_n = (((wn >> nshift) & 1) == 1)[None, :]
+                one_n = q_is_n | t_is_n
+                delta = jnp.where(
+                    q_is_n & t_is_n, 0,
+                    jnp.where(one_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)),
+                )
+                incP1 = jnp.where(
+                    one_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
+                ).astype(jnp.int32)
+            else:
+                # no query-side N source; adapter N rows are const
+                delta = jnp.where(
+                    t_is_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)
+                )
+                incP1 = jnp.where(
+                    t_is_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
+                ).astype(jnp.int32)
+
+            psc = col_scr[0]
+            pP1 = col_scr[1]
+            pP2 = col_scr[2]
+
+            def shift_down(a):
+                return jnp.concatenate(
+                    [jnp.zeros((1, tile_b), a.dtype), a[:-1]], axis=0
+                )
+
+            ul_sc = shift_down(psc) + delta
+            ul_P1 = shift_down(pP1) + incP1
+            ul_P2 = jnp.where(row0, x, shift_down(pP2))
+
+            ban = (ys > 3) & (ys - 3 > x)
+            left_sc = jnp.where(ban, NEG, psc + GAP)
+            left_P1 = pP1
+            left_P2 = pP2 + (1 << 16)
+
+            lw = left_sc > ul_sc
+            e_key = jnp.where(lw, left_sc * 2, ul_sc * 2 + 1)
+            e_P1 = jnp.where(lw, left_P1, ul_P1)
+            e_P2 = jnp.where(lw, left_P2, ul_P2)
+
+            up0_better = row0 & (2 * GAP >= e_key)
+            e_key = jnp.where(up0_better, 2 * GAP, e_key)
+            e_P1 = jnp.where(up0_better, 0, e_P1)
+            e_P2 = jnp.where(up0_better, x + (1 << 16), e_P2)
+
+            akey = e_key - key_gap2
+            aP2 = e_P2 + bias_col
+            state = (akey, e_P1, aP2)
+            for i in range(nscan):
+                sh = 1 << i
+                if sh >= window:
+                    break
+                shifted = tuple(
+                    jnp.concatenate(
+                        [jnp.full((sh, tile_b), 2 * NEG if k == 0 else 0, s.dtype),
+                         s[:-sh]], axis=0,
+                    )
+                    for k, s in enumerate(state)
+                )
+                ka, kb = shifted[0], state[0]
+                ywins = (kb > ka) | ((kb == ka) & ((kb & 1) == 1))
+                state = tuple(
+                    jnp.where(ywins, sb, sa) for sa, sb in zip(shifted, state)
+                )
+            ckey, cP1, cP2a = state
+            cur = (ckey >> 1) + gap_y
+            cP2 = cP2a - bias_col
+
+            col_scr[0] = cur
+            col_scr[1] = cP1
+            col_scr[2] = cP2
+
+            improve = (cur > best_scr[_BSC]) & (x < lengths)[None, :]
+            best_scr[_BSC] = jnp.where(improve, cur, best_scr[_BSC])
+            best_scr[_BP1] = jnp.where(improve, cP1, best_scr[_BP1])
+            best_scr[_BP2] = jnp.where(improve, cP2, best_scr[_BP2])
+            best_scr[_BX] = jnp.where(improve, x, best_scr[_BX])
+
+        @pl.when(xg == pl.num_programs(1) - 1)
+        def _finish():
+            sc = jnp.where(ys < H, best_scr[_BSC], NEG_BEST - 1)
+            m = jnp.max(sc, axis=0)
+            cand = sc == m[None, :]
+            bx = best_scr[_BX]
+            minbx = jnp.min(jnp.where(cand, bx, jnp.int32(1 << 30)), axis=0)
+            cand &= bx == minbx[None, :]
+            ymin = jnp.min(jnp.where(cand, ysb, H_pad), axis=0)
+            sel = ysb == ymin[None, :]
+
+            def pick(a):
+                return jnp.sum(jnp.where(sel, a, 0), axis=0)
+
+            bp1 = pick(best_scr[_BP1])
+            bp2 = pick(best_scr[_BP2])
+            m_ref[:] = bp1 & 0xFF
+            mm_ref[:] = (bp1 >> 8) & 0xFF
+            nm_ref[:] = (bp1 >> 16) & 0xFF
+            ts_ref[:] = (bp1 >> 24) & 0xFF
+            qs_ref[:] = bp2 & 0xFFFF
+            g_ref[:] = bp2 >> 16
+            qe_ref[:] = pick(bx)
+            te_ref[:] = jnp.where(ymin == H_pad, 0, ymin)
+
+    return kernel
+
+
+_CODE_OF = {65: 0, 67: 1, 71: 2, 84: 3, 78: 4}  # A C G T N
+
+
+def adapter_codes(adapter: bytes):
+    """Adapter as 2-bit codes (N=4), or None if it contains a letter the
+    packed path cannot represent (lowercase/U etc -> unpacked kernel)."""
+    try:
+        return [_CODE_OF[c] for c in adapter]
+    except KeyError:
+        return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("adapter", "L", "tile_b", "interpret"))
+def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
+                              tile_b: int = 2048, interpret: bool = False):
+    """align_batch on the 2-bit packed upload, no unpacking on or off
+    chip.
+
+    ``b2w``: [ceil(L/32)*2, B] uint32 — the pack_batch2 byte matrix
+    (4 codes/byte, MSB-first within a byte) viewed little-endian as
+    uint32 words and transposed; ``nmw``: [ceil(L/32), B] uint32 — the
+    effective-N bit plane (input N OR masked positions; np.packbits
+    MSB-first bytes, little-endian words, transposed), or None when the
+    batch has no N source.  ``L`` is the true column count (words may
+    cover more; the surplus is PAD and never committed)."""
+    W16 = b2w.shape[0]
+    B = b2w.shape[1]
+    H = len(adapter)
+    codes = adapter_codes(adapter)
+    if codes is None:
+        raise ValueError("adapter outside ACGTN; use align_batch_pallas")
+    if not pallas_bounds_ok(L, H):
+        raise ValueError(
+            "packed path-stat field bounds exceeded (L=%d, adapter=%d)"
+            % (L, H)
+        )
+    if B % tile_b != 0 or (not interpret and tile_b % 1024 != 0):
+        raise ValueError("bad tile_b %d for B %d" % (tile_b, B))
+    L_pad = W16 * 16
+    if L_pad < L or L_pad % 32 != 0:
+        raise ValueError("b2w rows %d do not cover L=%d" % (W16, L))
+    has_nm = nmw is not None
+    if has_nm and nmw.shape[0] * 32 != L_pad:
+        raise ValueError("nmw rows %d mismatch b2w rows %d"
+                         % (nmw.shape[0], W16))
+    H_pad = _h_pad(H)
+    t_pad = np.full((H_pad, 1), 5, np.int32)  # 5 = border: not a code, not N
+    t_pad[:H, 0] = codes
+    t_arr = jnp.asarray(t_pad)
+    lengths = lengths.astype(jnp.int32)
+    tile_max = jnp.max(lengths.reshape(B // tile_b, tile_b), axis=1)
+
+    grid = (B // tile_b, L_pad // 32)
+    out_shape = tuple(jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(8))
+    kernel = _make_kernel_packed(H, H_pad, L_pad, tile_b, has_nm)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # [n_tiles] maxlens
+        # full word column per tile (first dim equals the array dim, so
+        # any W16 is legal); fetched once per tile, indexed per step
+        pl.BlockSpec((W16, tile_b), lambda i, x: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [tile_max, b2w]
+    if has_nm:
+        in_specs.append(
+            pl.BlockSpec((W16 // 2, tile_b), lambda i, x: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(nmw)
+    in_specs += [
+        pl.BlockSpec((tile_b,), lambda i, x: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H_pad, 1), lambda i, x: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands += [lengths, t_arr]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((tile_b,), lambda i, x: (i,), memory_space=pltpu.VMEM)
+            for _ in range(8)
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3, H_pad, tile_b), jnp.int32),
+            pltpu.VMEM((4, H_pad, tile_b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    names = ("matches", "mismatches", "gaps", "neutral",
+             "query_start", "query_end", "target_start", "target_end")
+    return dict(zip(names, outs))
 
 
 @functools.partial(jax.jit, static_argnames=("adapter", "tile_b", "interpret"))
@@ -258,6 +591,14 @@ def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
     t_pad = np.zeros((H_pad, 1), np.int32)
     t_pad[:H, 0] = np.frombuffer(adapter, np.uint8)
     t_arr = jnp.asarray(t_pad)
+    if not interpret and tile_b % 1024 != 0:
+        # rank-1 [B] operands carry an XLA layout tile of 1024 elements
+        # that Mosaic block shapes must be a multiple of (interpret mode
+        # has no layout constraint; tests use small tiles there)
+        raise ValueError("tile_b must be a multiple of 1024, got %d" % tile_b)
+    lengths = lengths.astype(jnp.int32)
+    # per-tile column bound: tiles of short reads stop early
+    tile_max = jnp.max(lengths.reshape(B // tile_b, tile_b), axis=1)
 
     grid = (B // tile_b, L_pad // 8)
     out_shape = tuple(jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(8))
@@ -267,6 +608,7 @@ def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [n_tiles] maxlens
             pl.BlockSpec((8, tile_b), lambda i, x: (x, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b,), lambda i, x: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((H_pad, 1), lambda i, x: (0, 0), memory_space=pltpu.VMEM),
@@ -278,10 +620,10 @@ def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((3, H_pad, tile_b), jnp.int32),
-            pltpu.VMEM((8, tile_b), jnp.int32),
+            pltpu.VMEM((4, H_pad, tile_b), jnp.int32),
         ],
         interpret=interpret,
-    )(basesT, lengths, t_arr)
+    )(tile_max, basesT, lengths, t_arr)
     names = ("matches", "mismatches", "gaps", "neutral",
              "query_start", "query_end", "target_start", "target_end")
     return dict(zip(names, outs))

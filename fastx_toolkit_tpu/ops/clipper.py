@@ -25,10 +25,11 @@ def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
     dropping to the ~25x-HBM-traffic scan engine."""
     import sys
 
-    from ..kernels.align_pallas import pallas_bounds_ok
+    from ..kernels.align_pallas import pallas_bounds_ok, tile_for
 
     B, L = bases.shape
     platform = jax.devices()[0].platform
+    tile = tile_for(len(adapter))
     use_pallas = (
         platform in ("tpu", "axon")
         and not os.environ.get("FASTX_TPU_NO_PALLAS")
@@ -36,6 +37,8 @@ def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
         # kernel's traffic advantage
         and B >= 256
         and pallas_bounds_ok(L, len(adapter))
+        # beyond ~160 adapter rows the kernel's VMEM scratch would not fit
+        and tile is not None
     )
     if os.environ.get("FASTX_TPU_LOG_DISPATCH"):
         # trace-time log: fires once per compiled shape
@@ -45,7 +48,8 @@ def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
             file=sys.stderr,
         )
     if use_pallas:
-        tile = 2048 if B % 2048 == 0 else 1024
+        if B % 2048 != 0:
+            tile = 1024  # less zero-row padding for off-size batches
         Bp = -(-B // tile) * tile
         if Bp != B:
             bases = jnp.concatenate(
@@ -77,6 +81,31 @@ def adapter_cutoff_index(res, lengths, *, min_adapter_len: int):
     r4 = (res["query_end"] >= qsize - 2) & (size <= 5) & (m >= 3)
     accept = ok & (r1 | r2 | r3 | r4)
     return jnp.where(accept, res["query_start"], -1)
+
+
+def clip_cut_lengths(i, lengths, keep_delta: int):
+    """Post-clip lengths from the cutoff index (fastx_clipper.cpp:282-285;
+    keep_delta already includes the adapter length when > 0, see
+    parse_commandline :153-155)."""
+    cut = jnp.where(i > 0, i + keep_delta, i)
+    return jnp.where(cut > 0, jnp.minimum(lengths, cut), lengths).astype(jnp.int32)
+
+
+def clip_write_mask(i, new_len, has_n, *, min_length: int, keep_n: bool,
+                    discard_non_clipped: bool = False,
+                    discard_clipped: bool = False,
+                    show_adapter_only: bool = False):
+    """The clipper's discard cascade as a write mask only (the packed
+    decisions pipeline needs no category counters;
+    fastx_clipper.cpp:288-319)."""
+    c_zero = i == 0
+    c_short = ~c_zero & (new_len < min_length)
+    c_nonclip = ~c_zero & ~c_short & (i == -1) & discard_non_clipped
+    c_clip = ~c_zero & ~c_short & ~c_nonclip & (i > 0) & discard_clipped
+    c_n = ~c_zero & ~c_short & ~c_nonclip & ~c_clip & has_n & (not keep_n)
+    if show_adapter_only:
+        return c_zero
+    return ~(c_zero | c_short | c_nonclip | c_clip | c_n)
 
 
 def legacy_effective_query(bases, lengths, carry=None):
