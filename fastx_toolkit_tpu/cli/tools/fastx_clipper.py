@@ -97,6 +97,7 @@ def tool_main(ctx: CliContext, argv) -> int:
     reader = _shared.BatchReader(ctx, args, filetype=codec.FASTA_OR_FASTQ)
     writer = common.OutputWriter(ctx, args)
     n_in = n_zero = n_short = n_nonclip = n_clip = n_n = 0
+    tie_fix = not os.environ.get("FASTX_TPU_NO_TIE_FIX")
     for batch in reader:
         if st["debug"] > 0:
             # -D debug output (fastx_clipper.cpp:272-275): per-record
@@ -131,9 +132,7 @@ def tool_main(ctx: CliContext, argv) -> int:
             widthsp = np.zeros(bb, np.int32)
             widthsp[:nb] = widths
             kwargs = {"align_bases": effp, "align_lengths": widthsp}
-        b2, q2, l2, write, cat = clipper.clip_batch_jit(
-            bases, quals, lengths,
-            **kwargs,
+        flags = dict(
             adapter=st["adapter"].encode(),
             min_length=st["min_length"],
             keep_delta=keep_delta,
@@ -143,11 +142,50 @@ def tool_main(ctx: CliContext, argv) -> int:
             show_adapter_only=st["show_adapter_only"],
             min_adapter_len=st["min_adapter"],
         )
-        batch.bases = np.asarray(b2)[:nb]
-        batch.quals = np.asarray(q2)[:nb]
-        batch.lengths = np.asarray(l2)[:nb]
-        cat = np.asarray(cat)[:nb]
-        out = batch.select(np.asarray(write)[:nb])
+        res = clipper.clip_batch_jit(
+            bases, quals, lengths, **kwargs, **flags, tie_flag=tie_fix
+        )
+        if tie_fix:
+            b2, q2, l2, write, cat, fragile = res
+        else:
+            b2, q2, l2, write, cat = res
+        b2 = np.asarray(b2)
+        q2 = np.asarray(q2)
+        l2 = np.asarray(l2).copy()
+        write = np.asarray(write).copy()
+        cat = np.asarray(cat).copy()
+        if tie_fix:
+            frag = np.asarray(fragile)[:nb]
+            if frag.any():
+                # float-fragile reads: re-decide with the bit-faithful
+                # float32 engine so output matches the C exactly
+                from ...engine import hostfix
+
+                idx = np.nonzero(frag)[0]
+                fl, fwr, fc = hostfix.clip_decide_np(
+                    bases[idx], lengths[idx], **{
+                        k: v for k, v in flags.items()
+                    },
+                    align_bases=(kwargs["align_bases"][idx]
+                                 if legacy else None),
+                    align_lengths=(kwargs["align_lengths"][idx]
+                                   if legacy else None),
+                )
+                l2[idx] = fl
+                write[idx] = fwr
+                cat[idx] = fc
+                b2 = b2.copy()
+                q2 = q2.copy()
+                for j, row in enumerate(idx):
+                    b2[row] = bases[row]
+                    q2[row] = quals[row]
+                    b2[row, fl[j]:] = 0
+                    q2[row, fl[j]:] = 0
+        batch.bases = b2[:nb]
+        batch.quals = q2[:nb]
+        batch.lengths = l2[:nb]
+        cat = cat[:nb]
+        out = batch.select(write[:nb])
         rc = np.asarray(batch.counts)
         n_in += int(rc.sum())
         n_zero += int(rc[cat == 1].sum())

@@ -182,6 +182,9 @@ def _load():
                                    _u8p, ctypes.c_int]
     lib.fx_artifacts_rows.argtypes = [_u8p, _i64p, _i64p, ctypes.c_int64,
                                       _u8p, ctypes.c_int]
+    lib.fx_clip_float.argtypes = [_u8p, _i32p, ctypes.c_int64,
+                                  ctypes.c_int64, _u8p, ctypes.c_int64,
+                                  _i32p, ctypes.c_int]
     return lib
 
 
@@ -591,3 +594,23 @@ def gather_flat(buf, starts, lens):
     LIB.fx_gather_flat(ptr(buf, _u8p), ptr(starts, _i64p), ptr(lens, _i64p),
                        ptr(offs, _i64p), n, ptr(out, _u8p), _NT)
     return out, offs
+
+
+def clip_float(bases: np.ndarray, dp_lens: np.ndarray, adapter: bytes):
+    """Float32 clipper DP (fx_clip_float): bit-faithful to the reference
+    engine, for tie-fragile subsets.  Returns the align_batch result
+    dict (kernels/align.py field names)."""
+    bases = np.ascontiguousarray(bases, np.uint8)
+    dp_lens = np.ascontiguousarray(dp_lens, np.int32)
+    n, W = bases.shape
+    ad = np.frombuffer(adapter, np.uint8)
+    out = np.empty((n, 8), np.int32)
+    LIB.fx_clip_float(ptr(bases, _u8p), ptr(dp_lens, _i32p), n, W,
+                      ptr(np.ascontiguousarray(ad), _u8p), len(adapter),
+                      ptr(out, _i32p), _NT)
+    return {
+        "matches": out[:, 0], "mismatches": out[:, 1], "gaps": out[:, 2],
+        "neutral": out[:, 3], "query_start": out[:, 4],
+        "query_end": out[:, 5], "target_start": out[:, 6],
+        "target_end": out[:, 7],
+    }

@@ -49,26 +49,38 @@ CHUNK = int(os.environ.get("FASTX_TPU_CHUNK", 262144))
 class LineEngines:
     """Lazily-built jitted programs for one PipelineConfig.  Reuse one
     instance across calls so repeated streams hit the same traced
-    executables (jax.jit caches per wrapper function)."""
+    executables (jax.jit caches per wrapper function).
+
+    When the chain includes the clipper, the engines run with the DP
+    tie-fragility flag on (kernels/align*.py tie_fragile) and the
+    streaming consumer re-decides flagged reads with the bit-faithful
+    float32 host engine (engine/hostfix.py) — output then matches the
+    reference byte for byte even on N-bearing lanes.
+    FASTX_TPU_NO_TIE_FIX=1 turns the machinery off."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        self.tie = bool(cfg.with_clip) and not os.environ.get(
+            "FASTX_TPU_NO_TIE_FIX"
+        )
         self._fn2_clean = self._fn2 = self._unpacked = None
 
     def fn2(self, has_n: bool):
         if has_n:
             if self._fn2 is None:
-                self._fn2 = packed_decisions_pipeline(self.cfg, two_bit=True)
+                self._fn2 = packed_decisions_pipeline(
+                    self.cfg, two_bit=True, tie_flag=self.tie
+                )
             return self._fn2
         if self._fn2_clean is None:
             self._fn2_clean = packed_decisions_pipeline(
-                self.cfg, two_bit=True, has_n_plane=False
+                self.cfg, two_bit=True, has_n_plane=False, tie_flag=self.tie
             )
         return self._fn2_clean
 
     def unpacked(self):
         if self._unpacked is None:
-            self._unpacked = decisions_pipeline(self.cfg)
+            self._unpacked = decisions_pipeline(self.cfg, tie_flag=self.tie)
         return self._unpacked
 
 
@@ -102,6 +114,8 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
     inflight_q: "queue.Queue" = queue.Queue(maxsize=max(1, inflight_max - 1))
     err = []
 
+    tie = getattr(engines, "tie", False)
+
     def drain():
         try:
             while True:
@@ -109,7 +123,10 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
                 if item is None:
                     break
                 nrows, fut = item
-                futs_q.put((nrows, np.asarray(fut[0]), np.asarray(fut[1])))
+                futs_q.put((
+                    nrows, np.asarray(fut[0]), np.asarray(fut[1]),
+                    np.asarray(fut[3]) if tie else None,
+                ))
         except BaseException as e:
             err.append(e)
             # keep consuming (discarding futures) so the producer can
@@ -205,7 +222,7 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
                     (bases, quals, lengths, counts), nb = _pad(batch)
                     fut = engines.unpacked()(bases, quals, lengths, counts)
                     blocks_q.put(("classic", batch))
-                    inflight_q.put((nb, (fut[0], fut[1])))
+                    inflight_q.put((nb, fut))
                     continue
                 if has_n and not any_n and pend:
                     # an N-bearing chunk after N-free ones changes the
@@ -234,26 +251,33 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
     n_total = 0
     n_out = 0
     out_pos = 0
-    cur = None  # [kind, block, new_len, keep, fill]
-    spill_len = spill_keep = None
+    cur = None  # [kind, block, new_len, keep, fill, fragile]
+    spill_len = spill_keep = spill_frag = None
     mask_thr = cfg.mask_q if cfg.with_mask else None
 
     def next_block():
-        nonlocal cur, spill_len, spill_keep
+        nonlocal cur, spill_len, spill_keep, spill_frag
         b = blocks_q.get()
         if b is None:
             cur = None
             return False
         kind, blk = b
         n = len(blk)
-        cur = [kind, blk, np.empty(n, np.int32), np.empty(n, bool), 0]
+        cur = [kind, blk, np.empty(n, np.int32), np.empty(n, bool), 0,
+               np.zeros(n, bool) if tie else None]
         if spill_len is not None:
             take = min(len(spill_len), n)
             cur[2][:take] = spill_len[:take]
             cur[3][:take] = spill_keep[:take]
+            if tie:
+                cur[5][:take] = spill_frag[:take]
             cur[4] = take
-            spill_len = spill_len[take:] if take < len(spill_len) else None
-            spill_keep = spill_keep[take:] if spill_len is not None else None
+            more = take < len(spill_len)
+            spill_len = spill_len[take:] if more else None
+            spill_keep = spill_keep[take:] if more else None
+            spill_frag = spill_frag[take:] if (more and tie) else (
+                spill_frag if more else None
+            )
         return True
 
     def render_block(kind, blk, new_len, keep):
@@ -291,7 +315,9 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
     def flush_if_done():
         nonlocal cur, n_total
         while cur is not None and cur[4] == len(cur[1]):
-            kind, blk, new_len, keep, _ = cur
+            kind, blk, new_len, keep, _, frag = cur
+            if tie and frag is not None and frag.any():
+                _fix_fragile(cfg, kind, blk, new_len, keep, frag, q_offset)
             render_block(kind, blk, new_len, keep)
             n_total += len(blk)
             if not next_block():
@@ -307,26 +333,58 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
         item = futs_q.get()
         if item is None:
             break
-        nrows, l, k = item
+        nrows, l, k, fg = item
         dlen = l[:nrows]
         dkeep = k[:nrows]
+        dfrag = fg[:nrows] if tie else None
         pos = 0
         while pos < nrows and cur is not None:
             room = len(cur[1]) - cur[4]
             take = min(room, nrows - pos)
             cur[2][cur[4]:cur[4] + take] = dlen[pos:pos + take]
             cur[3][cur[4]:cur[4] + take] = dkeep[pos:pos + take]
+            if tie:
+                cur[5][cur[4]:cur[4] + take] = dfrag[pos:pos + take]
             cur[4] += take
             pos += take
             flush_if_done()
         if pos < nrows:
             spill_len = dlen[pos:]
             spill_keep = dkeep[pos:]
+            spill_frag = dfrag[pos:] if tie else None
     t.join()
     t_drain.join()
     if err:
         raise err[0]
     return n_total, n_out, out_pos
+
+
+def _fix_fragile(cfg, kind, blk, new_len, keep, frag, q_offset):
+    """Re-decide tie-fragile rows with the float32 host engine and patch
+    the decisions in place (see LineEngines docstring)."""
+    from . import hostfix
+
+    idx = np.nonzero(frag)[0]
+    if kind == "classic":
+        b = np.ascontiguousarray(blk.bases[idx])
+        q = np.ascontiguousarray(blk.quals[idx]).astype(np.int16)
+        ln = np.asarray(blk.lengths)[idx].astype(np.int32)
+    else:
+        lens = blk.seq_lens[idx]
+        lm = max(int(lens.max()), 1)
+        b = np.zeros((len(idx), lm), np.uint8)
+        q = np.zeros((len(idx), lm), np.int16)
+        buf = np.frombuffer(blk.buf, np.uint8)
+        for j, i in enumerate(idx):
+            n = int(blk.seq_lens[i])
+            ss = int(blk.seq_starts[i])
+            qs = int(blk.qual_starts[i])
+            b[j, :n] = buf[ss:ss + n]
+            q[j, :n] = buf[qs:qs + n].astype(np.int16) - q_offset
+        ln = lens.astype(np.int32)
+    l_fix, k_fix = hostfix.host_decide(cfg, b, q, ln)
+    new_len[idx] = l_fix
+    keep[idx] = k_fix
 
 
 def _pad(batch):

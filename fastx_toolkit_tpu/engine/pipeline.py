@@ -83,7 +83,7 @@ class PipelineConfig:
 
 
 def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
-                  psum_axis: Optional[str] = None):
+                  psum_axis: Optional[str] = None, tie_flag: bool = False):
     """One fused device step over a read batch: every per-read tool of the
     reference applied back-to-back with no host round-trips, plus the
     per-cycle count reduction (psum'd over ``psum_axis`` when running
@@ -101,12 +101,17 @@ def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
         keep &= k2
     if cfg.with_mask:
         b, _, _ = transforms.masker(b, q, l, threshold=cfg.mask_q, mask_char=ord("N"))
+    fragile = jnp.zeros(b.shape[0], bool)
     if cfg.with_clip:
-        b, q, l, wrote, _cat = clip_batch(  # noqa: E741
+        out = clip_batch(
             b, q, l, adapter=cfg.adapter, min_length=cfg.clip_minlen, keep_delta=0,
             discard_non_clipped=False, discard_clipped=False, keep_n=cfg.clip_keep_n,
-            show_adapter_only=False, min_adapter_len=0,
+            show_adapter_only=False, min_adapter_len=0, tie_flag=tie_flag,
         )
+        if tie_flag:
+            b, q, l, wrote, _cat, fragile = out  # noqa: E741
+        else:
+            b, q, l, wrote, _cat = out  # noqa: E741
         keep &= wrote
     if cfg.with_artifacts:
         keep &= transforms.artifacts_keep(b, l)
@@ -119,6 +124,8 @@ def pipeline_body(bases, quals, lengths, counts, cfg: PipelineConfig,
         count = jnp.zeros((b.shape[1], stats_ops.NSLOTS), jnp.int32)
     if psum_axis is not None:
         count = jax.lax.psum(count, psum_axis)
+    if tie_flag:
+        return b, q, l, keep, count, fragile
     return b, q, l, keep, count
 
 
@@ -297,7 +304,8 @@ def packed_pipeline_body(b4, planes, lengths, counts, cfg: PipelineConfig,
                          psum_axis: Optional[str] = None,
                          seq_len: Optional[int] = None,
                          two_bit: bool = False,
-                         has_n_plane: Optional[bool] = None):
+                         has_n_plane: Optional[bool] = None,
+                         tie_flag: bool = False):
     """pipeline_body on the packed representation; decisions-identical to
     the unpacked version (tests/test_packed.py).  ``seq_len`` is the true
     (pre-packing) L — only needed when L is not a multiple of the pack
@@ -344,13 +352,19 @@ def packed_pipeline_body(b4, planes, lengths, counts, cfg: PipelineConfig,
         b = jnp.where(masked, jnp.uint8(ord("N")), b)
     b = jnp.where(in_len, b, 0).astype(jnp.uint8)
 
+    fragile = jnp.zeros(b.shape[0], bool)
     if cfg.with_clip:
         dummy_q = jnp.zeros(b.shape, jnp.int8)  # decisions never read quals
-        b, _, l, wrote, _cat = clip_batch(  # noqa: E741
+        out = clip_batch(
             b, dummy_q, l, adapter=cfg.adapter, min_length=cfg.clip_minlen,
             keep_delta=0, discard_non_clipped=False, discard_clipped=False,
             keep_n=cfg.clip_keep_n, show_adapter_only=False, min_adapter_len=0,
+            tie_flag=tie_flag,
         )
+        if tie_flag:
+            b, _, l, wrote, _cat, fragile = out  # noqa: E741
+        else:
+            b, _, l, wrote, _cat = out  # noqa: E741
         keep &= wrote
     if cfg.with_artifacts:
         keep &= transforms.artifacts_keep(b, l)
@@ -364,6 +378,8 @@ def packed_pipeline_body(b4, planes, lengths, counts, cfg: PipelineConfig,
         count = jnp.zeros((b.shape[1], stats_ops.NSLOTS), jnp.int32)
     if psum_axis is not None:
         count = jax.lax.psum(count, psum_axis)
+    if tie_flag:
+        return l, keep, count, fragile
     return l, keep, count
 
 
@@ -427,8 +443,8 @@ def packed_fast_ok(cfg: PipelineConfig, two_bit: bool, B: int, Le: int) -> bool:
 
     from ..kernels.align_pallas import (
         adapter_codes,
+        packed_tile_for,
         pallas_bounds_ok,
-        tile_for,
     )
 
     if not two_bit or cfg.with_stats:
@@ -449,18 +465,21 @@ def packed_fast_ok(cfg: PipelineConfig, two_bit: bool, B: int, Le: int) -> bool:
         H = len(cfg.adapter)
         if adapter_codes(cfg.adapter) is None:
             return False
-        if not pallas_bounds_ok(Le, H) or tile_for(H) is None:
+        if not pallas_bounds_ok(Le, H) or packed_tile_for(H) is None:
             return False
     return True
 
 
 def packed_fast_body(b2, planes, lengths, cfg: PipelineConfig,
-                     has_n_plane: bool):
+                     has_n_plane: bool, tie_flag: bool = False):
     """The fully-packed decisions step (see block comment above).
     Returns (l, keep, count) exactly like packed_pipeline_body."""
     import os
 
-    from ..kernels.align_pallas import align_batch_pallas_packed, tile_for
+    from ..kernels.align_pallas import (
+        align_batch_pallas_packed,
+        packed_tile_for,
+    )
     from ..kernels.counts_pallas import packed_counts_pallas
     from ..ops.clipper import (
         adapter_cutoff_index,
@@ -518,7 +537,7 @@ def packed_fast_body(b2, planes, lengths, cfg: PipelineConfig,
     i_cut = None
     if cfg.with_clip or need_counts:
         L32 = -(-Le // 32) * 32
-        tile = tile_for(len(cfg.adapter)) if cfg.with_clip else 2048
+        tile = packed_tile_for(len(cfg.adapter)) if cfg.with_clip else 2048
         Bp = -(-B // tile) * tile
         b2w = _pad_rows(_words_T(b2, L32 // 4), Bp)
         nmw = None if nmb is None else _pad_rows(_words_T(nmb, L32 // 8), Bp)
@@ -526,7 +545,8 @@ def packed_fast_body(b2, planes, lengths, cfg: PipelineConfig,
 
     if cfg.with_clip:
         res = align_batch_pallas_packed(
-            b2w, nmw, l_p, cfg.adapter, L=Le, tile_b=tile, interpret=interp
+            b2w, nmw, l_p, cfg.adapter, L=Le, tile_b=tile, interpret=interp,
+            tie_flag=tie_flag,
         )
         if Bp != B:
             res = {k: v[:B] for k, v in res.items()}
@@ -556,13 +576,18 @@ def packed_fast_body(b2, planes, lengths, cfg: PipelineConfig,
         keep &= ~has_n
     l = jnp.where(keep, l, 0)  # noqa: E741
     count = jnp.zeros((Le, stats_ops.NSLOTS), jnp.int32)
+    if tie_flag:
+        fragile = (res["tie_fragile"][:B] if cfg.with_clip
+                   else jnp.zeros(B, bool))
+        return l, keep, count, fragile
     return l, keep, count
 
 
 def packed_decisions_pipeline(cfg: PipelineConfig,
                               seq_len: Optional[int] = None,
                               two_bit: bool = False,
-                              has_n_plane: Optional[bool] = None):
+                              has_n_plane: Optional[bool] = None,
+                              tie_flag: bool = False):
     """decisions_pipeline over the packed upload (see pack_batch /
     pack_batch2).  When ``cfg.with_stats`` is off the step takes no
     counts argument (it would be dead weight on the device link).
@@ -582,15 +607,17 @@ def packed_decisions_pipeline(cfg: PipelineConfig,
     else:
         def step(b4, planes, lengths):
             if packed_fast_ok(cfg, two_bit, b4.shape[0], b4.shape[1] * 4):
-                return packed_fast_body(b4, planes, lengths, cfg, hnp)
+                return packed_fast_body(b4, planes, lengths, cfg, hnp,
+                                        tie_flag=tie_flag)
             return packed_pipeline_body(b4, planes, lengths, None, cfg,
                                         seq_len=seq_len, two_bit=two_bit,
-                                        has_n_plane=has_n_plane)
+                                        has_n_plane=has_n_plane,
+                                        tie_flag=tie_flag)
 
     return jax.jit(step)
 
 
-def decisions_pipeline(cfg: PipelineConfig):
+def decisions_pipeline(cfg: PipelineConfig, tie_flag: bool = False):
     """Ship decisions, not data: same fused step but returning ONLY small
     per-read scalars (final length, keep mask, per-cycle counts).
 
@@ -605,7 +632,12 @@ def decisions_pipeline(cfg: PipelineConfig):
     """
 
     def step(bases, quals, lengths, counts):
-        _b, _q, l, keep, count = pipeline_body(bases, quals, lengths, counts, cfg)  # noqa: E741
+        out = pipeline_body(bases, quals, lengths, counts, cfg,
+                            tie_flag=tie_flag)
+        if tie_flag:
+            _b, _q, l, keep, count, fragile = out  # noqa: E741
+            return l, keep, count, fragile
+        _b, _q, l, keep, count = out  # noqa: E741
         return l, keep, count
 
     return jax.jit(step)

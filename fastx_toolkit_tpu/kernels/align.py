@@ -252,12 +252,24 @@ def _match_delta(qc, tc):
     ).astype(jnp.int32)
 
 
-def align_batch(bases, lengths, adapter: bytes):
+def align_batch(bases, lengths, adapter: bytes, tie_flag: bool = False):
     """Batched half-local alignment of every read against one adapter.
 
     bases uint8 [B, L] (PAD=0 beyond lengths), adapter length H <= 100.
     Returns dict of int32 [B] arrays: matches, mismatches, gaps, neutral,
     query_start, query_end, target_start, target_end.
+
+    With ``tie_flag=True`` the dict also carries ``tie_fragile`` [B]
+    bool: True for reads where some max-relevant comparison was an EXACT
+    decimal tie with a neutral (N) score on a tying path.  Those are
+    precisely the reads whose outcome the reference's float32 engine can
+    resolve differently (neutral +0.1 is inexact in float; all other
+    score levels differ by >= 0.1 >> the ~1e-5 float error, so non-tied
+    comparisons can never flip — see align_oracle's docstring).  Callers
+    wanting bit-parity with the C re-run flagged reads through
+    align_batch_float32.  The flag is conservative (a flagged read need
+    not actually diverge) and propagates along paths: a fragile
+    resolution taints every later cell whose stats inherited it.
 
     TPU-first design: instead of materializing an origin matrix and
     walking it backwards per read (the reference's traceback,
@@ -298,10 +310,20 @@ def align_batch(bases, lengths, adapter: bytes):
         ywins = (b[0] > a[0]) | ((b[0] == a[0]) & b[1])
         return tuple(jnp.where(ywins, yb, ya) for ya, yb in zip(a, b))
 
+    def comb_flag(a, b):
+        """comb + fragility: a score tie between chain candidates with a
+        neutral on either tying path marks the winner fragile (the float
+        engine could resolve it the other way).  Tuple slot 5 is the
+        neutral count, slot 8 the flag."""
+        ywins = (b[0] > a[0]) | ((b[0] == a[0]) & b[1])
+        tie = (b[0] == a[0]) & ((a[5] + b[5]) > 0)
+        out = tuple(jnp.where(ywins, yb, ya) for ya, yb in zip(a, b))
+        return out[:8] + (out[8] | tie,)
+
     def step(carry, x):
         # prev column state, all [H, B] int32 (absolute counters)
-        (psc, pm, pmm, pg, pnm, pqs, pts, best, bm, bmm, bg, bnm, bqs, bts,
-         bx, by) = carry
+        (psc, pm, pmm, pg, pnm, pqs, pts, pfl, best, bm, bmm, bg, bnm, bqs,
+         bts, bx, by, bfl) = carry
         qc = basesT[x].astype(jnp.int32)[None, :]  # [1, B]
         q_is_n = qc == _N
         one_n = q_is_n | t_is_n
@@ -334,6 +356,7 @@ def align_batch(bases, lengths, adapter: bytes):
         ul_g = jnp.where(fresh_ul, 0, shift_down(pg, zrow))
         ul_qs = jnp.where(fresh_ul, x, shift_down(pqs, zrow))
         ul_ts = jnp.where(fresh_ul, jnp.broadcast_to(ys, (H, B)), shift_down(pts, zrow))
+        ul_fl = ~fresh_ul & shift_down(pfl, zrow.astype(bool))
 
         # --- left candidate (banned off-diagonal) ---
         ban = (ys > 3) & (ys - 3 > x)
@@ -346,6 +369,7 @@ def align_batch(bases, lengths, adapter: bytes):
         left_nm = jnp.where(first_col, 0, pnm)
         left_qs = jnp.where(first_col, x, pqs)
         left_ts = jnp.where(first_col, jnp.broadcast_to(ys, (H, B)), pts)
+        left_fl = ~first_col & pfl
 
         # --- resolve UL vs LEFT (UL wins ties: C checks UL first) ---
         lw = left_sc > ul_sc
@@ -357,6 +381,13 @@ def align_batch(bases, lengths, adapter: bytes):
         e_nm = jnp.where(lw, left_nm, ul_nm)
         e_qs = jnp.where(lw, left_qs, ul_qs)
         e_ts = jnp.where(lw, left_ts, ul_ts)
+        if tie_flag:
+            # an exact UL/LEFT tie with a neutral on either path is
+            # float-fragile whichever side the priority rule picked
+            t1 = (left_sc == ul_sc) & ((ul_nm + left_nm) > 0)
+            e_fl = jnp.where(lw, left_fl, ul_fl) | t1
+        else:
+            e_fl = jnp.zeros((H, B), bool)
 
         # --- y==0 border-up candidate (query_border[x] + GAP), priority
         #     UP: beats LEFT ties, loses UL ties ---
@@ -373,15 +404,27 @@ def align_batch(bases, lengths, adapter: bytes):
         e_nm = jnp.where(up0_better, 0, e_nm)
         e_qs = jnp.where(up0_better, x, e_qs)
         e_ts = jnp.where(up0_better, 0, e_ts)
+        if tie_flag:
+            t2 = row0 & (up0_sc == e_sc) & (e_nm > 0)
+            e_fl = jnp.where(up0_better, False, e_fl) | t2
 
         # --- up-chain via associative scan over y ---
         gap_y = GAP * ys
         adj = e_sc - gap_y
         g_adj = e_g - ys  # g rides as g - y
-        out = jax.lax.associative_scan(
-            comb, (adj, e_ul, e_m, e_mm, g_adj, e_nm, e_qs, e_ts), axis=0
-        )
-        c_adj, _, c_m, c_mm, c_gadj, c_nm, c_qs, c_ts = out
+        if tie_flag:
+            out = jax.lax.associative_scan(
+                comb_flag,
+                (adj, e_ul, e_m, e_mm, g_adj, e_nm, e_qs, e_ts, e_fl),
+                axis=0,
+            )
+            c_adj, _, c_m, c_mm, c_gadj, c_nm, c_qs, c_ts, c_fl = out
+        else:
+            out = jax.lax.associative_scan(
+                comb, (adj, e_ul, e_m, e_mm, g_adj, e_nm, e_qs, e_ts), axis=0
+            )
+            c_adj, _, c_m, c_mm, c_gadj, c_nm, c_qs, c_ts = out
+            c_fl = jnp.zeros((H, B), bool)
         cur = c_adj + gap_y
         c_g = c_gadj + ys
 
@@ -399,6 +442,19 @@ def align_batch(bases, lengths, adapter: bytes):
         def upd(old, new):
             return jnp.where(improve, new, old)
 
+        if tie_flag:
+            # inter-row exact tie at the column max with a neutral on any
+            # tied row: the first-y rule is float-fragile
+            t5 = (jnp.sum(ymask, axis=0) > 1) & (
+                jnp.sum(jnp.where(ymask, c_nm, 0), axis=0) > 0
+            )
+            # exact tie against the running global best with neutrals on
+            # either side: the keep-old rule is float-fragile
+            t4 = (x < lengths) & (col_best == best) & (
+                (pick(c_nm) + bnm) > 0
+            )
+            cfl_sel = pick(c_fl.astype(jnp.int32)) > 0
+            bfl = jnp.where(improve, cfl_sel | t5, bfl) | t4
         best = upd(best, col_best)
         bm = upd(bm, pick(c_m))
         bmm = upd(bmm, pick(c_mm))
@@ -409,17 +465,18 @@ def align_batch(bases, lengths, adapter: bytes):
         bx = upd(bx, x)
         by = upd(by, col_by)
 
-        return (cur, c_m, c_mm, c_g, c_nm, c_qs, c_ts, best,
-                bm, bmm, bg, bnm, bqs, bts, bx, by), None
+        return (cur, c_m, c_mm, c_g, c_nm, c_qs, c_ts, c_fl, best,
+                bm, bmm, bg, bnm, bqs, bts, bx, by, bfl), None
 
     zhb = jnp.zeros((H, B), jnp.int32)
     zb = jnp.zeros((B,), jnp.int32)
-    init = (zhb, zhb, zhb, zhb, zhb, zhb, zhb,
+    init = (zhb, zhb, zhb, zhb, zhb, zhb, zhb, jnp.zeros((H, B), bool),
             jnp.full((B,), -10000000, jnp.int32),
-            zb, zb, zb, zb, zb, zb, zb, zb)
+            zb, zb, zb, zb, zb, zb, zb, zb, jnp.zeros((B,), bool))
     final, _ = jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
-    (_, _, _, _, _, _, _, best, bm, bmm, bg, bnm, bqs, bts, bx, by) = final
-    return {
+    (_, _, _, _, _, _, _, _, best, bm, bmm, bg, bnm, bqs, bts, bx, by,
+     bfl) = final
+    out = {
         "matches": bm,
         "mismatches": bmm,
         "gaps": bg,
@@ -429,9 +486,163 @@ def align_batch(bases, lengths, adapter: bytes):
         "target_start": bts,
         "target_end": by,
     }
+    if tie_flag:
+        out["tie_fragile"] = bfl
+    return out
 
 
-align_batch_jit = jax.jit(align_batch, static_argnames=("adapter",))
+align_batch_jit = jax.jit(align_batch, static_argnames=("adapter", "tie_flag"))
+
+
+def align_batch_float32(bases, lengths, adapter: bytes):
+    """float32 batch engine, bit-faithful to the C (numpy, host).
+
+    Reproduces /root/reference/src/libfastx/sequence_alignment.cpp's
+    float arithmetic exactly: per-cell score = float32 candidate max in
+    the C's priority order (UL checked first, then UP, then LEFT), with
+    the same accumulation order as the sequential fill — so its results
+    match the reference binary bit for bit, including the N-read ties the
+    exact-decimal engines resolve deterministically (align_oracle
+    docstring).  Vectorized over the batch: the (x, y) cell loops are
+    Python, every op is a [B]-vector — meant for the small tie_fragile
+    subset of a batch, not whole lanes.
+
+    Path statistics are carried forward per cell exactly like
+    align_batch (the forward decisions ARE the traceback: the C's
+    traceback walks the origin matrix recorded during the fill)."""
+    bases = np.asarray(bases, np.uint8)
+    lengths = np.asarray(lengths, np.int64)
+    B, L = bases.shape
+    t = np.frombuffer(adapter, np.uint8)
+    H = len(adapter)
+    gap = np.float32(-5.0)
+    ys = np.arange(H)
+    tb = np.where(ys <= 3, np.float32(0),
+                  (gap * (ys - 3).astype(np.float32)).astype(np.float32))
+    tb = tb.astype(np.float32)
+    t_is_n = t == _N
+
+    # previous-column state
+    psc = np.zeros((H, B), np.float32)
+    pstat = np.zeros((6, H, B), np.int32)  # m, mm, g, nm, qs, ts
+    best = np.full(B, np.float32(-1000000), np.float32)
+    bstat = np.zeros((7, B), np.int32)  # m, mm, g, nm, qs, ts + bx
+    b_y = np.zeros(B, np.int32)
+
+    NEGBAN = np.float32(-100000)
+    for x in range(L):
+        qc = bases[:, x]
+        q_is_n = qc == _N
+        cur = np.empty((H, B), np.float32)
+        cstat = np.empty((6, H, B), np.int32)
+        up_sc = np.full(B, np.float32(0.0), np.float32)  # query border
+        up_stat = None  # fresh at y==0
+        for y in range(H):
+            if t_is_n[y]:
+                delta = np.where(q_is_n, np.float32(0.0), np.float32(0.1))
+                inc = 3  # neutral
+            else:
+                delta = np.where(
+                    q_is_n, np.float32(0.1),
+                    np.where(qc == t[y], np.float32(1.0), np.float32(-1.0)),
+                ).astype(np.float32)
+                inc = None  # depends on q
+            # candidate scores, exactly the C's operand order
+            if x == 0:
+                ul_src = tb[y - 1] if y > 0 else np.float32(0.0)
+                ul = np.float32(ul_src) + delta
+                left = np.float32(tb[y] + gap)
+                left = np.full(B, left, np.float32)
+            else:
+                ul_src = psc[y - 1] if y > 0 else np.float32(0.0)
+                ul = (ul_src + delta).astype(np.float32)
+                left = (psc[y] + gap).astype(np.float32)
+            up = (up_sc + gap).astype(np.float32)
+            banned = y > 3 and y - 3 > x
+            if banned:
+                left = np.full(B, NEGBAN, np.float32)
+            # priority max: UL, then UP, then LEFT (strict >)
+            s = np.maximum(ul, np.float32(-100000000))
+            o = np.zeros(B, np.int8)  # 0=UL
+            m_up = up > s
+            s = np.where(m_up, up, s).astype(np.float32)
+            o = np.where(m_up, 1, o)
+            m_left = left > s
+            s = np.where(m_left, left, s).astype(np.float32)
+            o = np.where(m_left, 2, o)
+            cur[y] = s
+            # forward stats per origin
+            is_match = (~q_is_n) & ~t_is_n[y] & (qc == t[y])
+            is_mm = (~q_is_n) & ~t_is_n[y] & (qc != t[y])
+            is_nm = q_is_n | t_is_n[y]
+            if x == 0 or y == 0:  # UL source is a border: fresh path
+                ul_m = is_match.astype(np.int32)
+                ul_mm = is_mm.astype(np.int32)
+                ul_g = np.zeros(B, np.int32)
+                ul_nm = is_nm.astype(np.int32)
+                ul_qs = np.full(B, x, np.int32)
+                ul_ts = np.full(B, y, np.int32)
+            else:
+                ul_m = pstat[0, y - 1] + is_match
+                ul_mm = pstat[1, y - 1] + is_mm
+                ul_g = pstat[2, y - 1]
+                ul_nm = pstat[3, y - 1] + is_nm
+                ul_qs = pstat[4, y - 1]
+                ul_ts = pstat[5, y - 1]
+            if y == 0:  # UP source is the query border: fresh
+                up_m = np.zeros(B, np.int32)
+                up_mm = np.zeros(B, np.int32)
+                up_g = np.ones(B, np.int32)
+                up_nm = np.zeros(B, np.int32)
+                up_qs = np.full(B, x, np.int32)
+                up_ts = np.zeros(B, np.int32)
+            else:
+                up_m = cstat[0, y - 1]
+                up_mm = cstat[1, y - 1]
+                up_g = cstat[2, y - 1] + 1
+                up_nm = cstat[3, y - 1]
+                up_qs = cstat[4, y - 1]
+                up_ts = cstat[5, y - 1]
+            if x == 0:  # LEFT source is the target border: fresh
+                lf_m = np.zeros(B, np.int32)
+                lf_mm = np.zeros(B, np.int32)
+                lf_g = np.ones(B, np.int32)
+                lf_nm = np.zeros(B, np.int32)
+                lf_qs = np.full(B, x, np.int32)
+                lf_ts = np.full(B, y, np.int32)
+            else:
+                lf_m = pstat[0, y]
+                lf_mm = pstat[1, y]
+                lf_g = pstat[2, y] + 1
+                lf_nm = pstat[3, y]
+                lf_qs = pstat[4, y]
+                lf_ts = pstat[5, y]
+            for k, (a, b, c) in enumerate((
+                (ul_m, up_m, lf_m), (ul_mm, up_mm, lf_mm),
+                (ul_g, up_g, lf_g), (ul_nm, up_nm, lf_nm),
+                (ul_qs, up_qs, lf_qs), (ul_ts, up_ts, lf_ts),
+            )):
+                cstat[k, y] = np.where(o == 0, a, np.where(o == 1, b, c))
+            # global best: strict >, (x, y) fill order, x < read length
+            improve = (s > best) & (x < lengths)
+            best = np.where(improve, s, best).astype(np.float32)
+            for k in range(6):
+                bstat[k] = np.where(improve, cstat[k, y], bstat[k])
+            bstat[6] = np.where(improve, x, bstat[6])
+            b_y = np.where(improve, y, b_y)
+            up_sc = s
+        psc = cur
+        pstat = cstat
+    return {
+        "matches": bstat[0],
+        "mismatches": bstat[1],
+        "gaps": bstat[2],
+        "neutral": bstat[3],
+        "query_start": bstat[4],
+        "query_end": bstat[6],
+        "target_start": bstat[5],
+        "target_end": b_y,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,18 @@ def tile_for(H: int) -> int | None:
     return None
 
 
+def packed_tile_for(H: int) -> int | None:
+    """Batch-tile for the packed kernel, or None -> use the unpacked
+    kernel.  Its Mosaic stack keeps ~28 live [H_pad, tile] planes
+    (measured), so H_pad*tile is budgeted to ~130K elements."""
+    H_pad = _h_pad(H)
+    if H_pad <= 64:
+        return 2048
+    if H_pad <= 128:
+        return 1024
+    return None
+
+
 def scan_window(H: int, H_pad: int) -> int:
     """Up-chain scan window: 1 + the longest gap run that can matter.
 
@@ -120,13 +132,18 @@ def scan_window(H: int, H_pad: int) -> int:
     return min(H_pad, max_gaps + 1)
 
 
-def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
+def _make_kernel(H: int, H_pad: int, L: int, tile_b: int,
+                 tie_flag: bool = False):
     window = scan_window(H, H_pad)
     nscan = max(1, int(np.ceil(np.log2(window))))
 
-    def kernel(maxlen_ref, bases_ref, lengths_ref, t_ref,
-               m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
-               col_scr, best_scr):
+    def kernel(maxlen_ref, bases_ref, lengths_ref, t_ref, *rest):
+        if tie_flag:
+            (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
+             tf_ref, col_scr, best_scr) = rest
+        else:
+            (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
+             col_scr, best_scr) = rest
         # col_scr: [3, H_pad, tile_b] previous-column planes (sc, P1, P2)
         # with the path statistics bit-packed (they ride the scan as pure
         # select payloads, so packing four/two of them into one plane
@@ -175,6 +192,11 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
 
         @pl.when(xg * 8 < tile_maxlen)
         def _cols():
+          # column/best state lives in values across the unrolled columns:
+          # one scratch read + write per grid step instead of per column
+          psc, pP1, pP2 = col_scr[0], col_scr[1], col_scr[2]
+          bsc, bP1, bP2, bXx = (best_scr[_BSC], best_scr[_BP1],
+                                best_scr[_BP2], best_scr[_BX])
           for j in range(8):
             x = xg * 8 + j
             qc = bases_ref[j, :][None, :]  # [1, tile_b] int32
@@ -191,10 +213,6 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
             incP1 = jnp.where(
                 one_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
             ).astype(jnp.int32)
-
-            psc = col_scr[0]
-            pP1 = col_scr[1]
-            pP2 = col_scr[2]
 
             def shift_down(a):
                 return jnp.concatenate(
@@ -221,14 +239,24 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
             e_key = jnp.where(lw, left_sc * 2, ul_sc * 2 + 1)
             e_P1 = jnp.where(lw, left_P1, ul_P1)
             e_P2 = jnp.where(lw, left_P2, ul_P2)
+            if tie_flag:
+                t1 = (left_sc == ul_sc) & (
+                    ((ul_P1 | left_P1) & 0xFF0000) != 0
+                )
 
             # y==0 border-up candidate (priority UP: beats LEFT ties only;
             # in key space: 2*GAP >= e_key  <=>  GAP > e_sc, or
             # GAP == e_sc with e_ul == 0)
             up0_better = row0 & (2 * GAP >= e_key)
+            if tie_flag:
+                t2 = row0 & ((e_key | 1) == 2 * GAP + 1) & (
+                    (e_P1 & 0xFF0000) != 0
+                )
             e_key = jnp.where(up0_better, 2 * GAP, e_key)
             e_P1 = jnp.where(up0_better, 0, e_P1)
             e_P2 = jnp.where(up0_better, x + (1 << 16), e_P2)
+            if tie_flag:
+                e_P2 = e_P2 | ((t1 | t2).astype(jnp.int32) << 31)
 
             # up-chain: Hillis-Steele max-scan down the column over THREE
             # planes: the gap-adjusted key and the two packed payloads
@@ -250,24 +278,38 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
                 )
                 ka, kb = shifted[0], state[0]
                 ywins = (kb > ka) | ((kb == ka) & ((kb & 1) == 1))
+                if tie_flag:
+                    ts_tie = (((ka ^ kb) | 1) == 1) & (
+                        ((shifted[1] | state[1]) & 0xFF0000) != 0
+                    )
                 state = tuple(
                     jnp.where(ywins, sb, sa) for sa, sb in zip(shifted, state)
                 )
+                if tie_flag:
+                    state = (state[0], state[1],
+                             state[2] | (ts_tie.astype(jnp.int32) << 31))
             ckey, cP1, cP2a = state
             cur = (ckey >> 1) + gap_y  # arithmetic shift floors: drops ul bit
             cP2 = cP2a - bias_col
-
-            col_scr[0] = cur
-            col_scr[1] = cP1
-            col_scr[2] = cP2
+            psc, pP1, pP2 = cur, cP1, cP2
 
             # per-row running best: first strict improvement wins, and
             # columns at/beyond the read length never improve
-            improve = (cur > best_scr[_BSC]) & (x < lengths)[None, :]
-            best_scr[_BSC] = jnp.where(improve, cur, best_scr[_BSC])
-            best_scr[_BP1] = jnp.where(improve, cP1, best_scr[_BP1])
-            best_scr[_BP2] = jnp.where(improve, cP2, best_scr[_BP2])
-            best_scr[_BX] = jnp.where(improve, x, best_scr[_BX])
+            xv = (x < lengths)[None, :]
+            improve = (cur > bsc) & xv
+            if tie_flag:
+                t4 = (cur == bsc) & xv & (((cP1 | bP1) & 0xFF0000) != 0)
+                bP2 = jnp.where(improve, cP2,
+                                bP2 | (t4.astype(jnp.int32) << 31))
+            else:
+                bP2 = jnp.where(improve, cP2, bP2)
+            bsc = jnp.where(improve, cur, bsc)
+            bP1 = jnp.where(improve, cP1, bP1)
+            bXx = jnp.where(improve, x, bXx)
+
+          col_scr[0], col_scr[1], col_scr[2] = psc, pP1, pP2
+          best_scr[_BSC], best_scr[_BP1] = bsc, bP1
+          best_scr[_BP2], best_scr[_BX] = bP2, bXx
 
         @pl.when(xg == pl.num_programs(1) - 1)
         def _finish():
@@ -293,23 +335,42 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int):
             nm_ref[:] = (bp1 >> 16) & 0xFF
             ts_ref[:] = (bp1 >> 24) & 0xFF
             qs_ref[:] = bp2 & 0xFFFF
-            g_ref[:] = bp2 >> 16  # fields are non-negative: plain shift
+            g_ref[:] = (bp2 >> 16) & 0x7FFF
             qe_ref[:] = pick(bx)
             te_ref[:] = jnp.where(ymin == H_pad, 0, ymin)
+            if tie_flag:
+                cand0 = sc == m[None, :]
+                multi = jnp.sum(cand0.astype(jnp.int32), axis=0) > 1
+                nmrow = cand0 & ((best_scr[_BP1] & 0xFF0000) != 0)
+                t5 = multi & (jnp.sum(nmrow.astype(jnp.int32), axis=0) > 0)
+                tf_ref[:] = ((bp2 >> 31) & 1) | t5.astype(jnp.int32)
 
     return kernel
 
 
 def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
-                        has_nm: bool):
+                        has_nm: bool, tie_flag: bool):
     """Packed-operand variant of _make_kernel: bases arrive as the 2-bit
     upload words (16 codes per uint32, the pack_batch2 byte layout seen
     little-endian) and the N/mask positions as 1-bit plane words (32
     positions per uint32).  The DP planes and scan are identical to the
-    unpacked kernel; only the per-column query fetch differs — a couple
-    of [tile_b] row ops replacing an entire XLA unpack + int32-transpose
-    materialization (~420 B/read of HBM traffic).  32 columns per grid
-    step (one nm word)."""
+    unpacked kernel; the differences are throughput:
+
+    * per-column query fetch is a couple of [tile_b] row ops replacing
+      an entire XLA unpack + int32-transpose materialization (~420
+      B/read of HBM traffic);
+    * every 8-column grid step is gated on the tile's max read length,
+      so a 100-col dispatch in a padded grid skips the dead columns;
+    * with ``tie_flag`` the float-fragility bit (see align.align_batch's
+      tie_fragile) rides P2's bit 31 — free through every payload select
+      and the scan (the biased gap field stops at bit 30), costing only
+      the tie-detection compares themselves.
+
+    (An int16 score-plane variant — clamping scores at -(20H+11), which
+    provably preserves exactness and bounds every key into int16 — was
+    prototyped but hits Mosaic relayout limitations when 16-bit-born
+    masks select 32-bit payload planes; revisit when Mosaic supports
+    those relayouts.)"""
     window = scan_window(H, H_pad)
     nscan = max(1, int(np.ceil(np.log2(window))))
 
@@ -319,8 +380,12 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
         else:
             (maxlen_ref, bases_ref, lengths_ref, t_ref, *rest) = refs
             nmw_ref = None
-        (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
-         col_scr, best_scr) = rest
+        if tie_flag:
+            (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
+             tf_ref, col_scr, best_scr) = rest
+        else:
+            (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
+             col_scr, best_scr) = rest
         xg = pl.program_id(1)
         tile_maxlen = maxlen_ref[pl.program_id(0)]
         tc = t_ref[:]  # [H_pad, 1] codes: A0 C1 G2 T3, N=4, pad=5
@@ -343,96 +408,133 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
             for k in (_BP1, _BP2, _BX):
                 best_scr[k] = jnp.zeros((H_pad, tile_b), jnp.int32)
 
-        @pl.when(xg * 32 < tile_maxlen)
+        @pl.when(xg * 8 < tile_maxlen)
         def _cols():
-          if has_nm:
-              wn = nmw_ref[xg, :].astype(jnp.int32)  # 32 plane bits
-          for j in range(32):
-            x = xg * 32 + j
-            wb = bases_ref[2 * xg + j // 16, :].astype(jnp.int32)
-            shift = 8 * ((j // 4) % 4) + (6 - 2 * (j % 4))
-            code = ((wb >> shift) & 3)[None, :]
-            eq = code == tc
-            if has_nm:
-                nshift = 8 * ((j // 8) % 4) + (7 - (j % 8))
-                q_is_n = (((wn >> nshift) & 1) == 1)[None, :]
-                one_n = q_is_n | t_is_n
-                delta = jnp.where(
-                    q_is_n & t_is_n, 0,
-                    jnp.where(one_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)),
-                )
-                incP1 = jnp.where(
-                    one_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
-                ).astype(jnp.int32)
-            else:
-                # no query-side N source; adapter N rows are const
-                delta = jnp.where(
-                    t_is_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)
-                )
-                incP1 = jnp.where(
-                    t_is_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
-                ).astype(jnp.int32)
-
-            psc = col_scr[0]
-            pP1 = col_scr[1]
-            pP2 = col_scr[2]
-
-            def shift_down(a):
-                return jnp.concatenate(
-                    [jnp.zeros((1, tile_b), a.dtype), a[:-1]], axis=0
-                )
-
-            ul_sc = shift_down(psc) + delta
-            ul_P1 = shift_down(pP1) + incP1
-            ul_P2 = jnp.where(row0, x, shift_down(pP2))
-
-            ban = (ys > 3) & (ys - 3 > x)
-            left_sc = jnp.where(ban, NEG, psc + GAP)
-            left_P1 = pP1
-            left_P2 = pP2 + (1 << 16)
-
-            lw = left_sc > ul_sc
-            e_key = jnp.where(lw, left_sc * 2, ul_sc * 2 + 1)
-            e_P1 = jnp.where(lw, left_P1, ul_P1)
-            e_P2 = jnp.where(lw, left_P2, ul_P2)
-
-            up0_better = row0 & (2 * GAP >= e_key)
-            e_key = jnp.where(up0_better, 2 * GAP, e_key)
-            e_P1 = jnp.where(up0_better, 0, e_P1)
-            e_P2 = jnp.where(up0_better, x + (1 << 16), e_P2)
-
-            akey = e_key - key_gap2
-            aP2 = e_P2 + bias_col
-            state = (akey, e_P1, aP2)
-            for i in range(nscan):
-                sh = 1 << i
-                if sh >= window:
-                    break
-                shifted = tuple(
-                    jnp.concatenate(
-                        [jnp.full((sh, tile_b), 2 * NEG if k == 0 else 0, s.dtype),
-                         s[:-sh]], axis=0,
+              # 8 columns per grid step: enough unroll to amortize the
+              # scratch round-trip, small enough that Mosaic's live
+              # temporaries fit VMEM even for 100+-row adapters
+              psc, pP1, pP2 = col_scr[0], col_scr[1], col_scr[2]
+              bsc, bP1, bP2, bXx = (best_scr[_BSC], best_scr[_BP1],
+                                    best_scr[_BP2], best_scr[_BX])
+              for jj in range(8):
+                x = xg * 8 + jj
+                j4 = (x // 4) % 4      # byte within the bases word
+                wb = bases_ref[x // 16, :].astype(jnp.int32)
+                shift = 8 * j4 + (6 - 2 * (x % 4))
+                code = ((wb >> shift) & 3)[None, :]
+                eq = code == tc
+                if has_nm:
+                    wn = nmw_ref[x // 32, :].astype(jnp.int32)
+                    nshift = 8 * ((x // 8) % 4) + (7 - (x % 8))
+                    q_is_n = (((wn >> nshift) & 1) == 1)[None, :]
+                    one_n = q_is_n | t_is_n
+                    delta = jnp.where(
+                        q_is_n & t_is_n, 0,
+                        jnp.where(one_n, NEUTRAL,
+                                  jnp.where(eq, MATCH, MISMATCH)),
                     )
-                    for k, s in enumerate(state)
-                )
-                ka, kb = shifted[0], state[0]
-                ywins = (kb > ka) | ((kb == ka) & ((kb & 1) == 1))
-                state = tuple(
-                    jnp.where(ywins, sb, sa) for sa, sb in zip(shifted, state)
-                )
-            ckey, cP1, cP2a = state
-            cur = (ckey >> 1) + gap_y
-            cP2 = cP2a - bias_col
+                    incP1 = jnp.where(
+                        one_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
+                    ).astype(jnp.int32)
+                else:
+                    # no query-side N source; adapter N rows are const
+                    delta = jnp.where(
+                        t_is_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)
+                    )
+                    incP1 = jnp.where(
+                        t_is_n, 1 << 16, jnp.where(eq, 1, 1 << 8)
+                    ).astype(jnp.int32)
 
-            col_scr[0] = cur
-            col_scr[1] = cP1
-            col_scr[2] = cP2
+                def shift_down(a):
+                    return jnp.concatenate(
+                        [jnp.zeros((1, tile_b), a.dtype), a[:-1]], axis=0
+                    )
 
-            improve = (cur > best_scr[_BSC]) & (x < lengths)[None, :]
-            best_scr[_BSC] = jnp.where(improve, cur, best_scr[_BSC])
-            best_scr[_BP1] = jnp.where(improve, cP1, best_scr[_BP1])
-            best_scr[_BP2] = jnp.where(improve, cP2, best_scr[_BP2])
-            best_scr[_BX] = jnp.where(improve, x, best_scr[_BX])
+                ul_sc = shift_down(psc) + delta
+                ul_P1 = shift_down(pP1) + incP1
+                ul_P2 = jnp.where(row0, x, shift_down(pP2))
+
+                ban = (ys > 3) & (ys - 3 > x)
+                left_sc = jnp.where(ban, NEG, psc + GAP)
+                left_P1 = pP1
+                left_P2 = pP2 + (1 << 16)
+
+                lw = left_sc > ul_sc
+                e_key = jnp.where(lw, left_sc * 2, ul_sc * 2 + 1)
+                e_P1 = jnp.where(lw, left_P1, ul_P1)
+                e_P2 = jnp.where(lw, left_P2, ul_P2)
+                if tie_flag:
+                    # exact UL/LEFT tie with a neutral on either path
+                    t1 = (left_sc == ul_sc) & (
+                        ((ul_P1 | left_P1) & 0xFF0000) != 0
+                    )
+
+                up0_better = row0 & (2 * GAP >= e_key)
+                if tie_flag:
+                    # score tie vs the border-up candidate (no neutrals
+                    # on its side; e's ul bit is irrelevant to the tie)
+                    t2 = row0 & ((e_key | 1) == 2 * GAP + 1) & (
+                        (e_P1 & 0xFF0000) != 0
+                    )
+                e_key = jnp.where(up0_better, 2 * GAP, e_key)
+                e_P1 = jnp.where(up0_better, 0, e_P1)
+                e_P2 = jnp.where(up0_better, x + (1 << 16), e_P2)
+                if tie_flag:
+                    e_P2 = e_P2 | ((t1 | t2).astype(jnp.int32) << 31)
+
+                akey = e_key - key_gap2
+                aP2 = e_P2 + bias_col
+                state = (akey, e_P1, aP2)
+                for i in range(nscan):
+                    sh = 1 << i
+                    if sh >= window:
+                        break
+                    shifted = tuple(
+                        jnp.concatenate(
+                            [jnp.full((sh, tile_b),
+                                      2 * NEG if k == 0 else 0, s.dtype),
+                             s[:-sh]], axis=0,
+                        )
+                        for k, s in enumerate(state)
+                    )
+                    ka, kb = shifted[0], state[0]
+                    ywins = (kb > ka) | ((kb == ka) & ((kb & 1) == 1))
+                    if tie_flag:
+                        # chain-candidate score tie (ul bits aside) with
+                        # neutrals on either tying path — computed on the
+                        # PRE-select payloads so the loser's neutrals count
+                        ts_tie = (((ka ^ kb) | 1) == 1) & (
+                            ((shifted[1] | state[1]) & 0xFF0000) != 0
+                        )
+                    state = tuple(
+                        jnp.where(ywins, sb, sa)
+                        for sa, sb in zip(shifted, state)
+                    )
+                    if tie_flag:
+                        state = (state[0], state[1],
+                                 state[2] | (ts_tie.astype(jnp.int32) << 31))
+                ckey, cP1, cP2a = state
+                cur = (ckey >> 1) + gap_y
+                cP2 = cP2a - bias_col
+                psc, pP1, pP2 = cur, cP1, cP2
+
+                xv = (x < lengths)[None, :]
+                improve = (cur > bsc) & xv
+                if tie_flag:
+                    # tie vs the OLD running best (before this update)
+                    t4 = (cur == bsc) & xv & (
+                        ((cP1 | bP1) & 0xFF0000) != 0
+                    )
+                    bP2 = jnp.where(improve, cP2,
+                                    bP2 | (t4.astype(jnp.int32) << 31))
+                else:
+                    bP2 = jnp.where(improve, cP2, bP2)
+                bsc = jnp.where(improve, cur, bsc)
+                bP1 = jnp.where(improve, cP1, bP1)
+                bXx = jnp.where(improve, x, bXx)
+              col_scr[0], col_scr[1], col_scr[2] = psc, pP1, pP2
+              best_scr[_BSC], best_scr[_BP1] = bsc, bP1
+              best_scr[_BP2], best_scr[_BX] = bP2, bXx
 
         @pl.when(xg == pl.num_programs(1) - 1)
         def _finish():
@@ -455,9 +557,17 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
             nm_ref[:] = (bp1 >> 16) & 0xFF
             ts_ref[:] = (bp1 >> 24) & 0xFF
             qs_ref[:] = bp2 & 0xFFFF
-            g_ref[:] = bp2 >> 16
+            g_ref[:] = (bp2 >> 16) & 0x7FFF
             qe_ref[:] = pick(bx)
             te_ref[:] = jnp.where(ymin == H_pad, 0, ymin)
+            if tie_flag:
+                # cross-row exact tie at the global max with neutrals on
+                # any tied row (the first-(x,y) rule is float-fragile)
+                cand0 = sc == m[None, :]
+                multi = jnp.sum(cand0.astype(jnp.int32), axis=0) > 1
+                nmrow = cand0 & ((best_scr[_BP1] & 0xFF0000) != 0)
+                t5 = multi & (jnp.sum(nmrow.astype(jnp.int32), axis=0) > 0)
+                tf_ref[:] = ((bp2 >> 31) & 1) | t5.astype(jnp.int32)
 
     return kernel
 
@@ -475,9 +585,11 @@ def adapter_codes(adapter: bytes):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("adapter", "L", "tile_b", "interpret"))
+                   static_argnames=("adapter", "L", "tile_b", "interpret",
+                                    "tie_flag"))
 def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
-                              tile_b: int = 2048, interpret: bool = False):
+                              tile_b: int = 2048, interpret: bool = False,
+                              tie_flag: bool = False):
     """align_batch on the 2-bit packed upload, no unpacking on or off
     chip.
 
@@ -515,9 +627,12 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     lengths = lengths.astype(jnp.int32)
     tile_max = jnp.max(lengths.reshape(B // tile_b, tile_b), axis=1)
 
-    grid = (B // tile_b, L_pad // 32)
-    out_shape = tuple(jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(8))
-    kernel = _make_kernel_packed(H, H_pad, L_pad, tile_b, has_nm)
+    grid = (B // tile_b, _round_up(L, 8) // 8)
+    n_out = 9 if tie_flag else 8
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(n_out)
+    )
+    kernel = _make_kernel_packed(H, H_pad, L_pad, tile_b, has_nm, tie_flag)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # [n_tiles] maxlens
@@ -545,7 +660,7 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
         in_specs=in_specs,
         out_specs=tuple(
             pl.BlockSpec((tile_b,), lambda i, x: (i,), memory_space=pltpu.VMEM)
-            for _ in range(8)
+            for _ in range(n_out)
         ),
         out_shape=out_shape,
         scratch_shapes=[
@@ -556,12 +671,18 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     )(*operands)
     names = ("matches", "mismatches", "gaps", "neutral",
              "query_start", "query_end", "target_start", "target_end")
-    return dict(zip(names, outs))
+    if tie_flag:
+        names = names + ("tie_fragile",)
+    res = dict(zip(names, outs))
+    if tie_flag:
+        res["tie_fragile"] = res["tie_fragile"].astype(bool)
+    return res
 
 
-@functools.partial(jax.jit, static_argnames=("adapter", "tile_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("adapter", "tile_b", "interpret",
+                                             "tie_flag"))
 def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
-                       interpret: bool = False):
+                       interpret: bool = False, tie_flag: bool = False):
     """Pallas implementation of align_batch; B must be a multiple of
     tile_b (callers pad; padded rows have length 0 and are excluded from
     the argmax so their outputs are zeros).
@@ -601,8 +722,11 @@ def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
     tile_max = jnp.max(lengths.reshape(B // tile_b, tile_b), axis=1)
 
     grid = (B // tile_b, L_pad // 8)
-    out_shape = tuple(jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(8))
-    kernel = _make_kernel(H, H_pad, L, tile_b)
+    n_out = 9 if tie_flag else 8
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(n_out)
+    )
+    kernel = _make_kernel(H, H_pad, L, tile_b, tie_flag)
 
     outs = pl.pallas_call(
         kernel,
@@ -615,7 +739,7 @@ def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
         ],
         out_specs=tuple(
             pl.BlockSpec((tile_b,), lambda i, x: (i,), memory_space=pltpu.VMEM)
-            for _ in range(8)
+            for _ in range(n_out)
         ),
         out_shape=out_shape,
         scratch_shapes=[
@@ -626,4 +750,9 @@ def align_batch_pallas(bases, lengths, adapter: bytes, tile_b: int = 2048,
     )(tile_max, basesT, lengths, t_arr)
     names = ("matches", "mismatches", "gaps", "neutral",
              "query_start", "query_end", "target_start", "target_end")
-    return dict(zip(names, outs))
+    if tie_flag:
+        names = names + ("tie_fragile",)
+    res = dict(zip(names, outs))
+    if tie_flag:
+        res["tie_fragile"] = res["tie_fragile"].astype(bool)
+    return res

@@ -16,7 +16,8 @@ from ..kernels.align_pallas import align_batch_pallas
 from . import transforms
 
 
-def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
+def _align_dispatch(bases, quals_unused, lengths, adapter: bytes,
+                    tie_flag: bool = False):
     """Pick the Pallas kernel on TPU-class backends (3x the XLA scan
     version); fall back to the jnp engine on CPU, for tiny batches, or
     beyond the packed-field bounds (results are bit-identical either
@@ -58,11 +59,12 @@ def _align_dispatch(bases, quals_unused, lengths, adapter: bytes):
             lengths = jnp.concatenate(
                 [lengths, jnp.zeros((Bp - B,), lengths.dtype)], axis=0
             )
-        res = align_batch_pallas(bases, lengths, adapter, tile_b=tile)
+        res = align_batch_pallas(bases, lengths, adapter, tile_b=tile,
+                                 tie_flag=tie_flag)
         if Bp != B:
             res = {k: v[:B] for k, v in res.items()}
         return res
-    return align_batch(bases, lengths, adapter)
+    return align_batch(bases, lengths, adapter, tie_flag=tie_flag)
 
 
 def adapter_cutoff_index(res, lengths, *, min_adapter_len: int):
@@ -158,7 +160,7 @@ def clip_batch(bases, quals, lengths, *, adapter: bytes, min_length: int,
                keep_delta: int, discard_non_clipped: bool,
                discard_clipped: bool, keep_n: bool,
                show_adapter_only: bool, min_adapter_len: int,
-               align_bases=None, align_lengths=None):
+               align_bases=None, align_lengths=None, tie_flag: bool = False):
     """Full clipper pipeline on device.
 
     Returns (bases, quals, new_lengths, write_mask, category) where
@@ -176,7 +178,7 @@ def clip_batch(bases, quals, lengths, *, adapter: bytes, min_length: int,
     """
     ab = bases if align_bases is None else align_bases
     al = lengths if align_lengths is None else align_lengths
-    res = _align_dispatch(ab, quals, al, adapter)
+    res = _align_dispatch(ab, quals, al, adapter, tie_flag=tie_flag)
     i = adapter_cutoff_index(res, lengths, min_adapter_len=min_adapter_len)
 
     # keep_delta already includes len(adapter) when > 0 (parse_commandline,
@@ -205,6 +207,8 @@ def clip_batch(bases, quals, lengths, *, adapter: bytes, min_length: int,
         write = cat == 0
 
     bases, quals = transforms._zero_pad(bases, quals, new_len)
+    if tie_flag:
+        return bases, quals, new_len, write, cat, res["tie_fragile"]
     return bases, quals, new_len, write, cat
 
 
@@ -213,5 +217,6 @@ clip_batch_jit = jax.jit(
     static_argnames=(
         "adapter", "min_length", "keep_delta", "discard_non_clipped",
         "discard_clipped", "keep_n", "show_adapter_only", "min_adapter_len",
+        "tie_flag",
     ),
 )

@@ -1140,3 +1140,92 @@ void fx_counts_from_names(const uint8_t* buf, const int64_t* name_starts,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Float32 half-local clipper DP for tie-fragile subsets: a faithful
+// transcription of the reference engine's float arithmetic and fill
+// order (/root/reference/src/libfastx/sequence_alignment.cpp — gap -5,
+// match +1, mismatch -1, neutral +0.1, target border (y<=3)?0:gap*(y-3),
+// from-left ban when y-3 > x, priority UPPER_LEFT > UPPER > LEFT, global
+// max tracked cell-by-cell with strict >).  Path statistics are carried
+// forward per cell — the forward decisions are exactly the traceback the
+// C would walk.  All score ops are float additions (no multiply-add
+// pairs), so -ffp-contract cannot perturb them.
+// out: [n, 8] int32 = m, mm, g, nm, qs, qe, ts, te per read.
+void fx_clip_float(const uint8_t* bases, const int32_t* dp_lens,
+                   int64_t n, int64_t W, const uint8_t* adapter, int64_t H,
+                   int32_t* out, int nthreads) {
+  nthreads = pick_threads(n * H, nthreads);
+  parallel_ranges(n, nthreads, [&](int64_t s, int64_t e) {
+    std::vector<float> psc(H), cur(H);
+    // forward stats per row of the previous / current column
+    struct St { int32_t m, mm, g, nm, qs, ts; };
+    std::vector<St> pst(H), cst(H);
+    std::vector<float> tb(H);
+    for (int64_t y = 0; y < H; y++)
+      tb[y] = y <= 3 ? 0.0f : -5.0f * (float)(y - 3);
+    const float gap = -5.0f;
+    for (int64_t i = s; i < e; i++) {
+      const uint8_t* q = bases + i * W;
+      int64_t L = dp_lens[i];
+      float best = -1000000.0f;
+      St bst{0, 0, 0, 0, 0, 0};
+      int32_t bx = 0, by = 0;
+      for (int64_t x = 0; x < L; x++) {
+        float up_sc = 0.0f;  // query border above row 0
+        for (int64_t y = 0; y < H; y++) {
+          uint8_t qc = q[x], tc = adapter[y];
+          bool qn = qc == 'N', tn = tc == 'N';
+          float delta = (qn && tn) ? 0.0f
+                        : (qn || tn) ? 0.1f
+                        : (qc == tc) ? 1.0f : -1.0f;
+          float ul_src = (x == 0) ? (y > 0 ? tb[y - 1] : 0.0f)
+                                  : (y > 0 ? psc[y - 1] : 0.0f);
+          float upleft = ul_src + delta;
+          float left = ((x == 0) ? tb[y] : psc[y]) + gap;
+          if (y > 3 && y - 3 > x) left = -100000.0f;
+          float up = up_sc + gap;
+          // priority: UL first, then UP, then LEFT (strict >)
+          float sc = -100000000.0f;
+          int o = 2;  // LEFT
+          if (upleft > sc) { sc = upleft; o = 0; }
+          if (up > sc) { sc = up; o = 1; }
+          if (left > sc) { sc = left; o = 2; }
+          St st;
+          if (o == 0) {
+            bool fresh = (x == 0) || (y == 0);
+            St src = fresh ? St{0, 0, 0, 0, (int32_t)x, (int32_t)y}
+                           : pst[y - 1];
+            st = src;
+            if (qn || tn) st.nm++;
+            else if (qc == tc) st.m++;
+            else st.mm++;
+          } else if (o == 1) {
+            st = (y == 0) ? St{0, 0, 0, 0, (int32_t)x, 0} : cst[y - 1];
+            st.g++;
+          } else {
+            st = (x == 0) ? St{0, 0, 0, 0, (int32_t)x, (int32_t)y} : pst[y];
+            st.g++;
+          }
+          cur[y] = sc;
+          cst[y] = st;
+          if (sc > best) {
+            best = sc;
+            bst = st;
+            bx = (int32_t)x;
+            by = (int32_t)y;
+          }
+          up_sc = sc;
+        }
+        std::swap(psc, cur);
+        std::swap(pst, cst);
+      }
+      int32_t* o8 = out + i * 8;
+      o8[0] = bst.m; o8[1] = bst.mm; o8[2] = bst.g; o8[3] = bst.nm;
+      o8[4] = bst.qs; o8[5] = bx; o8[6] = bst.ts; o8[7] = by;
+    }
+  });
+}
+
+}  // extern "C"

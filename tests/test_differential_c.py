@@ -4,10 +4,10 @@ Compiles the reference tools from /root/reference with -O3 (skipped when
 the reference tree or gcc is unavailable) and byte-compares outputs on
 randomized inputs — far stronger than the fixed golden files.
 
-Clipper inputs are ACGT-only: with N-containing reads the reference's
-float32 accumulation noise makes its argmax tie-break nondeterministic
-(see kernels/align.py docstring), which is exactly the case our exact-
-decimal engine deliberately diverges on.
+The clipper is covered on ACGT-only AND N-heavy lanes: the DP engines
+flag float-fragile ties (kernels/align*.py tie_fragile) and the CLI
+re-decides them with the bit-faithful float32 engine, so N-bearing
+output matches the C byte for byte too (the N tests at the bottom).
 """
 
 import os
@@ -398,3 +398,98 @@ def test_fasta_formatter_empty_input_tabular_e_divergence(refbin):
     r = run_tool(fasta_formatter, ["-t", "-e"], b"", prog="fasta_formatter")
     assert r.status == 0
     assert r.stdout == b"\n"
+
+
+# ---------------------------------------------------------------------------
+# N-bearing float-tie parity (VERDICT r3 item #6): the DP kernels flag
+# tie-fragile reads and the CLI re-decides them with the bit-faithful
+# float32 engine, so even N-heavy lanes must now match the C byte for
+# byte.  (The module docstring's old ACGT-only caveat no longer applies.)
+# ---------------------------------------------------------------------------
+
+def _n_heavy_clipper_lane(seed, n=500, adapter=b"CTGTAGGCACCATCAAT"):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        L = int(rng.integers(10, 70))
+        seq = bytearray(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L,
+                                   p=[0.22, 0.22, 0.22, 0.22, 0.12]))
+        if rng.random() < 0.5:
+            pos = int(rng.integers(0, max(L - 4, 1)))
+            ins = bytearray(adapter[: int(rng.integers(3, len(adapter) + 1))])
+            # sprinkle Ns into the adapter hit too: neutral-on-the-path
+            for k in range(len(ins)):
+                if rng.random() < 0.1:
+                    ins[k] = ord("N")
+            seq[pos:pos + len(ins)] = ins[: max(0, L - pos)]
+        qual = bytes((rng.integers(0, 41, len(seq)) + 33).astype(np.uint8))
+        out.append(b"@r%d\n%s\n+\n%s\n" % (i, bytes(seq), qual))
+    return b"".join(out)
+
+
+@pytest.mark.slow
+def test_clipper_differential_n_reads(refbin):
+    from fastx_toolkit_tpu.cli.tools import fastx_clipper
+
+    adapter = "CTGTAGGCACCATCAAT"
+    for seed in (41, 42, 43):
+        data = _n_heavy_clipper_lane(seed)
+        for argv in (
+            ["-Q", "33", "-a", adapter, "-n", "-v"],
+            ["-Q", "33", "-a", adapter, "-n", "-l", "10", "-v"],
+        ):
+            r, cerr = _compare(refbin, fastx_clipper, "fastx_clipper",
+                               argv, data)
+            assert r.stderr == cerr.decode()
+
+
+@pytest.mark.slow
+def test_pipeline_differential_n_reads(refbin):
+    """The fused pipeline chain vs the C shell pipeline on an N-heavy
+    lane — masker-created Ns feed the clipper DP, the exact case the
+    tie-fragility machinery exists for.
+
+    The lane is uniform-length and the chain carries no length-changing
+    stage before the clipper: with equal-width records the reference's
+    grow-only DP matrix has no stale region, so the C's output is free
+    of its stale-heap-bytes UB (sequence_alignment.cpp:131-153 + the
+    reused query buffer) and the comparison isolates the float-tie
+    machinery.  (With mixed widths the C scans stale bytes of earlier
+    reads — undefined behavior the fused pipeline deliberately does not
+    reproduce; the standalone fastx_clipper CLI does emulate it and its
+    own N-heavy differential above is byte-exact.)"""
+    from fastx_toolkit_tpu.cli.tools import fastx_pipeline
+
+    adapter = "CTGTAGGCACCATCAAT"
+    rng = np.random.default_rng(7)
+    out = []
+    for i in range(800):
+        L = 60
+        seq = bytearray(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L,
+                                   p=[0.22, 0.22, 0.22, 0.22, 0.12]))
+        if rng.random() < 0.5:
+            pos = int(rng.integers(0, L - 4))
+            ins = bytearray(adapter.encode()[: int(rng.integers(3, 18))])
+            for k in range(len(ins)):
+                if rng.random() < 0.1:
+                    ins[k] = ord("N")
+            seq[pos:pos + len(ins)] = ins[: max(0, L - pos)]
+        qual = bytes((rng.integers(0, 41, L) + 33).astype(np.uint8))
+        out.append(b"@r%d\n%s\n+\n%s\n" % (i, bytes(seq), qual))
+    data = b"".join(out)
+    stages = [
+        ("fastq_quality_filter", ["-Q", "33", "-q", "12", "-p", "40"]),
+        ("fastq_masker", ["-Q", "33", "-q", "8"]),
+        ("fastx_clipper", ["-Q", "33", "-a", adapter, "-n"]),
+        ("fastx_artifacts_filter", ["-Q", "33"]),
+    ]
+    cdata = data
+    for tool, argv in stages:
+        rc, cdata, _ = run_c(refbin, tool, argv, cdata)
+        assert rc == 0
+    chain = ("fastq_quality_filter -q 12 -p 40"
+             " | fastq_masker -q 8 | fastx_clipper -a %s -n"
+             " | fastx_artifacts_filter" % adapter)
+    r = run_tool(fastx_pipeline, ["-Q", "33", chain], data)
+    assert r.status == 0, r.stderr
+    assert r.stdout == cdata
