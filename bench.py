@@ -1123,11 +1123,16 @@ def sol_accounting(config_n: int, measured_rps: float):
     bytes/read moved through HBM and (for the DP) VPU vector instructions
     per read, against the v5e ceilings.  The dominant kernel per config:
 
-    * 0/4 — the Pallas DP: per column step the kernel issues ~90 vector
-      ops over the [H_pad, TILE_B] planes (match/score ~25, 3-plane
-      Hillis-Steele scan ceil(log2 H_pad)*3*~3, argmax+update ~20).
-      vinstr/read = 90 * L * H_pad / 1024.  HBM traffic is the [L, B]
-      int32 operand (4L B/read in + its 4L materialization) + outputs.
+    * 0/4 — the Pallas DP (the round-4 packed kernel): per column the
+      kernel issues ~50 full-plane vector ops over [H_pad, TILE_B]
+      (candidates/resolve ~20, gap-budget-truncated scan
+      ceil(log2((H//5)+2)) rounds x ~10, running-best update ~6, packed
+      fetch/store ~8; count from kernels/align_pallas.py).
+      vinstr/read = 50 * L * H_pad / 1024 at 4-ALU co-issue — an upper
+      bound on issue: the DP is one serial dependency chain, and the
+      measured sustained rate for such chains is lower (BASELINE.md
+      "VPU sustained-issue probe").  HBM traffic is just the packed
+      words (~L/4 + L/8 B/read).
     * 1/2 — fused elementwise filters: HBM = packed inputs (L/4 + T*L/8
       + 2) + unpacked intermediates (~3 materialized [B, L] u8 arrays
       between fusion boundaries) + decisions out; VPU ~ L/1024 * ~40.
@@ -1142,9 +1147,9 @@ def sol_accounting(config_n: int, measured_rps: float):
     H = len(ADAPTER)
     H_pad = max(8, -(-H // 8) * 8)
     if config_n in (0, 4):
-        vinstr = 90.0 * L * H_pad / 1024.0
+        vinstr = 50.0 * L * H_pad / 1024.0
         sol_vpu = V5E_VPU_VINSTR_PS / vinstr
-        hbm = 8.0 * L + 64
+        hbm = 0.5 * L + 64
         sol_bw = V5E_HBM_BPS / hbm
         bound = "vpu-dp"
     elif config_n in (1, 2):
@@ -1179,6 +1184,68 @@ def sol_accounting(config_n: int, measured_rps: float):
     }))
 
 
+def vpu_probe():
+    """Measure the VPU's SUSTAINED issue rate for a serial dependency
+    chain of full-plane int32 ops on the DP kernel's working shape —
+    the empirical hardware bound for the alignment DP (whose column
+    recurrence is one long dependency chain).  `python bench.py
+    --vpuprobe`; recorded in BASELINE.md."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, Bt, U, K = 24, 2048, 64, 128
+
+    def make(dep: bool):
+        def kernel(o_ref, scr):
+            @pl.when(pl.program_id(0) == 0)
+            def _i():
+                scr[:] = jnp.ones((H, Bt), jnp.int32)
+
+            v = scr[:]
+            if dep:
+                for _ in range(U):
+                    v = v + 1  # serial chain, like the DP recurrence
+            else:
+                acc = [v + k for k in range(8)]  # 8 independent chains
+                for _ in range(U // 8 - 1):
+                    acc = [a + 1 for a in acc]
+                v = acc[0]
+                for a in acc[1:]:
+                    v = v + a
+            scr[:] = v
+
+            @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+            def _f():
+                o_ref[:] = v[0, :]
+
+        return pl.pallas_call(
+            kernel,
+            grid=(K,),
+            out_specs=pl.BlockSpec((Bt,), lambda i: (0,),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bt,), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((H, Bt), jnp.int32)],
+        )
+
+    for name, dep in (("dependent", True), ("independent", False)):
+        fn = jax.jit(make(dep))
+        _ = np.asarray(fn()[:1])
+        best = timed_device_chain(fn, (), lambda o: np.asarray(o[:1]),
+                                  budget_s=10.0)
+        plane_ops = K * U
+        vinstr = plane_ops * (H * Bt / 1024.0)
+        print(json.dumps({
+            "metric": "vpu_sustained_vinstr_per_sec_" + name,
+            "value": round(vinstr / best / 1e9, 3),
+            "unit": "G (8,128)-vector-instrs/sec",
+            "plane_shape": [H, Bt],
+            "plane_ops": plane_ops,
+            "sec_per_call": round(best, 5),
+        }))
+
+
 def device_only(config_n: int = 0):
     """Measure the fused step on device-resident data: the per-chip
     compute ceiling with no host link in the loop (what a production
@@ -1199,6 +1266,9 @@ def device_only(config_n: int = 0):
         return
     cfg, _ = config_cfg(config_n)
     fn = packed_decisions_pipeline(cfg, two_bit=True, has_n_plane=False)
+    fn_tie = (packed_decisions_pipeline(cfg, two_bit=True,
+                                        has_n_plane=False, tie_flag=True)
+              if cfg.with_clip else None)
     rng = np.random.default_rng(0)
     bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(CHUNK, READ_LEN))
     quals = rng.integers(2, 41, size=(CHUNK, READ_LEN)).astype(np.int8)
@@ -1210,6 +1280,12 @@ def device_only(config_n: int = 0):
     _ = np.asarray(out[0][:1])  # compile + sync (block_until_ready does
     # not reliably block on the tunnel-attached 'axon' platform)
     dt = timed_device_chain(fn, xs, lambda o: np.asarray(o[0][:1]))
+    dt_tie = None
+    if fn_tie is not None:
+        _ = np.asarray(fn_tie(*xs)[0][:1])  # compile + sync
+        dt_tie = timed_device_chain(fn_tie, xs,
+                                    lambda o: np.asarray(o[0][:1]),
+                                    budget_s=12.0)
     rps = CHUNK / dt
     if config_n == 0:
         print(
@@ -1219,6 +1295,11 @@ def device_only(config_n: int = 0):
                     "value": round(rps, 1),
                     "unit": "reads/sec",
                     "vs_baseline": round(rps / C_BASELINE_READS_PER_SEC, 3),
+                    **(
+                        {"with_tie_flag_reads_per_sec":
+                         round(CHUNK / dt_tie, 1)}
+                        if dt_tie else {}
+                    ),
                 }
             )
         )
@@ -1530,6 +1611,9 @@ def main():
         return
     if "--host" in sys.argv:
         host_only()
+        return
+    if "--vpuprobe" in sys.argv:
+        vpu_probe()
         return
     if "--device" in sys.argv:
         device_only(config_n)
