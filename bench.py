@@ -553,8 +553,12 @@ def _hist_from_b2_fn():
         B = b2.shape[0]
         codes = jnp.stack(
             [(b2 >> 6) & 3, (b2 >> 4) & 3, (b2 >> 2) & 3, b2 & 3], axis=2
-        ).reshape(B, -1)
-        bases = jnp.asarray(acgt)[codes.astype(jnp.int32)][:, : quals.shape[1]]
+        ).reshape(B, -1).astype(jnp.int32)[:, : quals.shape[1]]
+        bases = jnp.where(
+            codes < 2,
+            jnp.where(codes == 0, ord("A"), ord("C")),
+            jnp.where(codes == 2, ord("G"), ord("T")),
+        ).astype(jnp.uint8)
         return stats_hist_pallas(bases, quals, lengths, tile_b=512)
 
     return f

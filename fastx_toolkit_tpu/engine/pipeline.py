@@ -240,8 +240,13 @@ def _unpack2(b2, planes, has_n_plane: bool = True):
     le = b2.shape[1] * 4
     codes = jnp.stack(
         [(b2 >> 6) & 3, (b2 >> 4) & 3, (b2 >> 2) & 3, b2 & 3], axis=2
-    ).reshape(B, le)
-    bases = jnp.asarray(_ACGT)[codes.astype(jnp.int32)]
+    ).reshape(B, le).astype(jnp.int32)
+    # letter via selects, not a table gather (XLA gathers serialize on TPU)
+    bases = jnp.where(
+        codes < 2,
+        jnp.where(codes == 0, ord("A"), ord("C")),
+        jnp.where(codes == 2, ord("G"), ord("T")),
+    ).astype(jnp.uint8)
     if planes.shape[1] == 0:  # no thresholds and no N plane shipped
         return bases, jnp.zeros((B, 0, le), bool)
     shifts = jnp.arange(7, -1, -1, dtype=planes.dtype)
@@ -290,8 +295,13 @@ def _unpack4(b4, planes):
     le = b4.shape[1] * 2
     hi = (b4 >> 4) & 0xF
     lo = b4 & 0xF
-    codes = jnp.stack([hi, lo], axis=2).reshape(B, le)
-    bases = jnp.asarray(_ASCII_LUT)[codes.astype(jnp.int32)]
+    codes = jnp.stack([hi, lo], axis=2).reshape(B, le).astype(jnp.int32)
+    # 16-entry LUT via a select tree, not a gather
+    lut = _ASCII_LUT
+    bases = jnp.full(codes.shape, lut[0], jnp.uint8)
+    for ci in range(1, 16):
+        if lut[ci]:
+            bases = jnp.where(codes == ci, jnp.uint8(lut[ci]), bases)
     if planes.shape[1] == 0:  # no thresholds shipped
         return bases, jnp.zeros((B, 0, le), bool)
     shifts = jnp.arange(7, -1, -1, dtype=planes.dtype)

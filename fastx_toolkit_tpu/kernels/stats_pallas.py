@@ -77,8 +77,13 @@ def stats_hist_pallas(bases, quals, lengths, tile_b: int = 512,
     assert B % tile_b == 0, (B, tile_b)
     L_pad = _round_up(max(L, 1), POS_PER_STEP)
 
-    lut = jnp.asarray(BaseCode.STATS_INDEX).astype(jnp.int32)
-    nuc = lut[bases.astype(jnp.int32)]
+    # slot via compares, not a 256-LUT gather (XLA gathers serialize on
+    # TPU and dominated this kernel's runtime)
+    b = bases
+    nuc = jnp.zeros(b.shape, jnp.int32)
+    for i, pair in enumerate((b"Aa", b"Cc", b"Gg", b"Tt", b"Nn")):
+        hit = (b == pair[0]) | (b == pair[1])
+        nuc = jnp.where(hit, i + 1, nuc)
     qbin = jnp.clip(quals.astype(jnp.int32) - MIN_Q, 0, NBINS - 1)
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
     flat = jnp.where(valid, nuc * NBINS + qbin, F)  # F = no bin matches
