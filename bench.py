@@ -1089,6 +1089,7 @@ def cbaseline():
 # HBM bandwidth and VPU issue rate, not MXU FLOPs (no large matmuls
 # except the stats one-hot histogram).
 V5E_HBM_BPS = 8.1e11
+V5E_VMEM_BPS = 1.76e12  # measured, bench.py --vpuprobe (VMEM read+write)
 V5E_VPU_VINSTR_PS = 3.8e9  # (8,128)-vector instructions per second
 V5E_MXU_FLOPS = 1.97e14
 
@@ -1155,7 +1156,18 @@ def sol_accounting(config_n: int, measured_rps: float):
         sol_vpu = V5E_VPU_VINSTR_PS / vinstr
         hbm = 0.5 * L + 64
         sol_bw = V5E_HBM_BPS / hbm
-        bound = "vpu-dp"
+        # the binding term in practice: the DP's per-column state (3
+        # column + 4 running-best [H_pad, tile] planes, read+written
+        # every column) streams through VMEM at the measured ~1.76 TB/s
+        # (bench.py --vpuprobe); per read that is 14 plane-passes x
+        # H_pad rows x 4 B x L columns
+        vmem_bytes = 14.0 * H_pad * 4.0 * L
+        sol_vmem = V5E_VMEM_BPS / vmem_bytes
+        if sol_vmem < sol_vpu:
+            sol_vpu = sol_vmem
+            bound = "vmem-dp-state"
+        else:
+            bound = "vpu-dp"
     elif config_n in (1, 2):
         hbm = (L / 4.0 + L / 8.0 + 2) + 3 * L + 8
         sol_bw = V5E_HBM_BPS / hbm
@@ -1189,17 +1201,23 @@ def sol_accounting(config_n: int, measured_rps: float):
 
 
 def vpu_probe():
-    """Measure the VPU's SUSTAINED issue rate for a serial dependency
-    chain of full-plane int32 ops on the DP kernel's working shape —
-    the empirical hardware bound for the alignment DP (whose column
-    recurrence is one long dependency chain).  `python bench.py
-    --vpuprobe`; recorded in BASELINE.md."""
+    """Measure the chip's sustained VMEM streaming bandwidth with chains
+    of unfused full-plane int32 ops on the DP kernel's working shape.
+
+    A [24, 2048] int32 plane is 196 KB — far beyond the vector register
+    file — so every per-plane op in a chain Mosaic does not fuse is a
+    VMEM read+write pass; the measured op rate therefore IS the VMEM
+    bandwidth (the dependent and independent variants agree, ruling out
+    ALU latency as the limiter).  This is the empirical hardware bound
+    for the alignment DP, whose per-column state (3 column planes + 4
+    running-best planes) must stream through VMEM every column.
+    `python bench.py --vpuprobe`; recorded in BASELINE.md."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    H, Bt, U, K = 24, 2048, 64, 128
+    H, Bt, U, K = 24, 2048, 256, 32
 
     def make(dep: bool):
         def kernel(o_ref, scr):
@@ -1207,14 +1225,20 @@ def vpu_probe():
             def _i():
                 scr[:] = jnp.ones((H, Bt), jnp.int32)
 
+            # program_id-dependent operand defeats constant folding; mix
+            # add/xor/max like the DP's op mix
+            t = pl.program_id(0) + 1
             v = scr[:]
             if dep:
-                for _ in range(U):
-                    v = v + 1  # serial chain, like the DP recurrence
+                for k in range(U // 4):
+                    v = v + t
+                    v = v ^ (k + 1)
+                    v = jnp.maximum(v, v - t)
+                    v = v + (v >> 31)
             else:
                 acc = [v + k for k in range(8)]  # 8 independent chains
-                for _ in range(U // 8 - 1):
-                    acc = [a + 1 for a in acc]
+                for k in range(U // 8 - 1):
+                    acc = [a + t if k % 2 else a ^ (k + 1) for a in acc]
                 v = acc[0]
                 for a in acc[1:]:
                     v = v + a
@@ -1238,12 +1262,14 @@ def vpu_probe():
         _ = np.asarray(fn()[:1])
         best = timed_device_chain(fn, (), lambda o: np.asarray(o[:1]),
                                   budget_s=10.0)
-        plane_ops = K * U
+        plane_ops = K * U  # approximate for the independent variant
         vinstr = plane_ops * (H * Bt / 1024.0)
+        bytes_moved = plane_ops * (H * Bt * 4) * 2  # read + write per op
         print(json.dumps({
-            "metric": "vpu_sustained_vinstr_per_sec_" + name,
-            "value": round(vinstr / best / 1e9, 3),
-            "unit": "G (8,128)-vector-instrs/sec",
+            "metric": "vmem_stream_probe_" + name,
+            "value": round(bytes_moved / best / 1e12, 3),
+            "unit": "TB/s VMEM read+write",
+            "vinstr_per_sec_G": round(vinstr / best / 1e9, 3),
             "plane_shape": [H, Bt],
             "plane_ops": plane_ops,
             "sec_per_call": round(best, 5),
