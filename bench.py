@@ -1452,6 +1452,11 @@ def scaling(n_procs: int = 2):
     # collective merges) instead of comparing different threadings
     env["FASTX_NATIVE_THREADS"] = "1"
     env["OMP_NUM_THREADS"] = "1"
+    # persistent jit cache: without it every spawned worker recompiles
+    # the fused chain (~1 min on this CPU since the tie-flag planes
+    # joined the scan), drowning the marginal-slope signal in fixed cost
+    env["JAX_COMPILATION_CACHE_DIR"] = "/root/.cache/jax_comp"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     for k in ("FASTX_TPU_NUM_SHARDS", "FASTX_TPU_SHARD_ID",
               "FASTX_TPU_NUM_PROCESSES", "FASTX_TPU_PROCESS_ID", "XLA_FLAGS"):
         env.pop(k, None)
