@@ -5,6 +5,7 @@ the per-read raw-line fast path, with per-mode tests and docs matching
 code."""
 
 import io
+import os
 from types import SimpleNamespace
 
 import pytest
@@ -18,8 +19,12 @@ needs_native = pytest.mark.skipif(
 
 
 def test_backend_kind_cpu():
-    # the test harness runs on the CPU backend (conftest)
-    assert policy.backend_kind() == "cpu"
+    if os.environ.get("FASTX_TPU_TEST_REAL"):
+        # real-chip runs reach the TPU through the axon tunnel
+        assert policy.backend_kind() == "tpu-tunnel"
+    else:
+        # the test harness runs on the CPU backend (conftest)
+        assert policy.backend_kind() == "cpu"
 
 
 @needs_native
