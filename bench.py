@@ -1452,11 +1452,15 @@ def scaling(n_procs: int = 2):
     # collective merges) instead of comparing different threadings
     env["FASTX_NATIVE_THREADS"] = "1"
     env["OMP_NUM_THREADS"] = "1"
-    # persistent jit cache: without it every spawned worker recompiles
-    # the fused chain (~1 min on this CPU since the tie-flag planes
-    # joined the scan), drowning the marginal-slope signal in fixed cost
+    # persistent jit cache: spawned workers otherwise recompile the fused
+    # chain (~6-8 s each on this CPU)
     env["JAX_COMPILATION_CACHE_DIR"] = "/root/.cache/jax_comp"
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+    # dispatch chunk must be far below the lane so compute scales with
+    # reads: the engine pads every dispatch to a full chunk, so with the
+    # default 262144-row chunk an 80k lane and a 160k lane run the SAME
+    # padded device program and the marginal-slope method reads ~0
+    env.setdefault("FASTX_TPU_CHUNK", "16384")
     for k in ("FASTX_TPU_NUM_SHARDS", "FASTX_TPU_SHARD_ID",
               "FASTX_TPU_NUM_PROCESSES", "FASTX_TPU_PROCESS_ID", "XLA_FLAGS"):
         env.pop(k, None)
