@@ -1484,6 +1484,12 @@ def scaling(n_procs: int = 2):
         return time.perf_counter() - t0
 
     def run_pod(out):
+        import glob as _glob
+
+        # stale shards from older runs (possibly a different -n) must not
+        # leak into the byte-verify concat
+        for f in _glob.glob(out + ".shard-*"):
+            os.remove(f)
         argv = [sys.executable, "-m", "fastx_toolkit_tpu.cli.pod", "-n",
                 str(n_procs), "--cpu"]
         if pin:
@@ -1528,7 +1534,10 @@ def scaling(n_procs: int = 2):
         # the single-process output
         import glob
 
-        shards = sorted(glob.glob("/tmp/scale_n.out.shard-*"))
+        shards = sorted(glob.glob(
+            "/tmp/scale_n.out.shard-*-of-%05d" % n_procs
+        ))
+        assert len(shards) == n_procs, shards
         pod_bytes = b"".join(open(p, "rb").read() for p in shards)
     else:
         pod_bytes = open("/tmp/scale_n.out", "rb").read()
