@@ -312,46 +312,77 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
             out_pos += len(r)
             write(r)
 
-    def flush_if_done():
-        nonlocal cur, n_total
-        while cur is not None and cur[4] == len(cur[1]):
-            kind, blk, new_len, keep, _, frag = cur
-            if tie and frag is not None and frag.any():
-                _fix_fragile(cfg, kind, blk, new_len, keep, frag, q_offset)
+    # tie-fragile fixes run on a single worker thread so the float32
+    # re-decides overlap the consumer's idle waits on the device link;
+    # `ready` holds completed blocks in render order, each with its
+    # pending fix (or None)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    fixpool = ThreadPoolExecutor(max_workers=1) if tie else None
+    ready: "deque" = deque()
+
+    def drain_ready(block: bool):
+        nonlocal n_total
+        while ready:
+            kind, blk, new_len, keep, fut = ready[0]
+            if fut is not None and not block and not fut.done():
+                return
+            if fut is not None:
+                fut.result()  # re-raises fixer errors in the consumer
+            ready.popleft()
             render_block(kind, blk, new_len, keep)
             n_total += len(blk)
+
+    def flush_if_done():
+        nonlocal cur
+        while cur is not None and cur[4] == len(cur[1]):
+            kind, blk, new_len, keep, _, frag = cur
+            fut = None
+            if tie and frag is not None and frag.any():
+                fut = fixpool.submit(
+                    _fix_fragile, cfg, kind, blk, new_len, keep, frag,
+                    q_offset,
+                )
+            ready.append((kind, blk, new_len, keep, fut))
             if not next_block():
                 break
+        drain_ready(block=False)
 
-    if not next_block():
-        t.join()
-        t_drain.join()
-        if err:
-            raise err[0]
-        return 0, 0, 0
-    while True:
-        item = futs_q.get()
-        if item is None:
-            break
-        nrows, l, k, fg = item
-        dlen = l[:nrows]
-        dkeep = k[:nrows]
-        dfrag = fg[:nrows] if tie else None
-        pos = 0
-        while pos < nrows and cur is not None:
-            room = len(cur[1]) - cur[4]
-            take = min(room, nrows - pos)
-            cur[2][cur[4]:cur[4] + take] = dlen[pos:pos + take]
-            cur[3][cur[4]:cur[4] + take] = dkeep[pos:pos + take]
-            if tie:
-                cur[5][cur[4]:cur[4] + take] = dfrag[pos:pos + take]
-            cur[4] += take
-            pos += take
-            flush_if_done()
-        if pos < nrows:
-            spill_len = dlen[pos:]
-            spill_keep = dkeep[pos:]
-            spill_frag = dfrag[pos:] if tie else None
+    try:
+        if not next_block():
+            t.join()
+            t_drain.join()
+            if err:
+                raise err[0]
+            return 0, 0, 0
+        while True:
+            item = futs_q.get()
+            if item is None:
+                break
+            nrows, l, k, fg = item
+            dlen = l[:nrows]
+            dkeep = k[:nrows]
+            dfrag = fg[:nrows] if tie else None
+            pos = 0
+            while pos < nrows and cur is not None:
+                room = len(cur[1]) - cur[4]
+                take = min(room, nrows - pos)
+                cur[2][cur[4]:cur[4] + take] = dlen[pos:pos + take]
+                cur[3][cur[4]:cur[4] + take] = dkeep[pos:pos + take]
+                if tie:
+                    cur[5][cur[4]:cur[4] + take] = dfrag[pos:pos + take]
+                cur[4] += take
+                pos += take
+                flush_if_done()
+            if pos < nrows:
+                spill_len = dlen[pos:]
+                spill_keep = dkeep[pos:]
+                spill_frag = dfrag[pos:] if tie else None
+        drain_ready(block=True)
+    finally:
+        if fixpool is not None:
+            fixpool.shutdown(wait=False)
     t.join()
     t_drain.join()
     if err:
@@ -370,17 +401,17 @@ def _fix_fragile(cfg, kind, blk, new_len, keep, frag, q_offset):
         q = np.ascontiguousarray(blk.quals[idx]).astype(np.int16)
         ln = np.asarray(blk.lengths)[idx].astype(np.int32)
     else:
-        lens = blk.seq_lens[idx]
+        lens = np.ascontiguousarray(blk.seq_lens[idx])
         lm = max(int(lens.max()), 1)
-        b = np.zeros((len(idx), lm), np.uint8)
-        q = np.zeros((len(idx), lm), np.int16)
         buf = np.frombuffer(blk.buf, np.uint8)
-        for j, i in enumerate(idx):
-            n = int(blk.seq_lens[i])
-            ss = int(blk.seq_starts[i])
-            qs = int(blk.qual_starts[i])
-            b[j, :n] = buf[ss:ss + n]
-            q[j, :n] = buf[qs:qs + n].astype(np.int16) - q_offset
+        b = native.gather_rows(
+            buf, np.ascontiguousarray(blk.seq_starts[idx]), lens, lm
+        )
+        qa = native.gather_rows(
+            buf, np.ascontiguousarray(blk.qual_starts[idx]), lens, lm
+        )
+        # beyond-length cells are unset; every consumer masks by length
+        q = qa.astype(np.int16) - q_offset
         ln = lens.astype(np.int32)
     l_fix, k_fix = hostfix.host_decide(cfg, b, q, ln)
     new_len[idx] = l_fix
