@@ -73,7 +73,12 @@ def line_fast_path(reader, args):
         override = "device"
     elif override == "on":
         override = "host"
-    if _policy.resolve("per-read", override) != "host":
+    try:
+        if _policy.resolve("per-read", override) != "host":
+            return None
+    except RuntimeError:
+        # FASTX_LINEPATH=on without the native library: degrade to the
+        # classic path rather than failing the tool
         return None
     allowed = _codec.allowed_table_u8(reader.allow_n, reader.allow_u, False)
 

@@ -231,16 +231,21 @@ def chain_to_config(cfgs):
     return PipelineConfig(**kw), out_fastq
 
 
-def build_step(cfgs):
+def build_step(cfgs, tie_fix: bool = True):
     """Trace the whole chain into one jitted device program.
 
     Returns fn(bases, quals, lengths, counts) ->
-    (bases, quals, lengths, keep, per_stage_out_counts, first_forbidden).
+    (bases, quals, lengths, keep, per_stage_out_counts, first_forbidden,
+    fragile).  With ``tie_fix`` the clipper stages flag float-fragile
+    reads; those rows are EXCLUDED from the device's per-stage counts
+    (the caller re-adds their host-replayed contributions) and replayed
+    on host with the float32 engine.
     """
 
     def step(bases, quals, lengths, counts):
         b, q, l = bases, quals, lengths  # noqa: E741
         keep = jnp.ones(b.shape[0], dtype=bool)
+        fragile = jnp.zeros(b.shape[0], dtype=bool)
         stage_counts = []
         first_forbidden = jnp.full(b.shape[0], b.shape[1], jnp.int32)
         for c in cfgs:
@@ -265,14 +270,19 @@ def build_step(cfgs):
                     b, q, l, threshold=c["q"], mask_char=c["mask"]
                 )
             elif k == "fastx_clipper":
-                b, q, l, wrote, _cat = clip_batch(  # noqa: E741
+                out = clip_batch(
                     b, q, l, adapter=c["adapter"], min_length=c["min_length"],
                     keep_delta=c["keep_delta"],
                     discard_non_clipped=c["discard_non_clipped"],
                     discard_clipped=c["discard_clipped"], keep_n=c["keep_n"],
                     show_adapter_only=c["show_adapter_only"],
-                    min_adapter_len=c["min_adapter"],
+                    min_adapter_len=c["min_adapter"], tie_flag=tie_fix,
                 )
+                if tie_fix:
+                    b, q, l, wrote, _cat, frag = out  # noqa: E741
+                    fragile |= frag
+                else:
+                    b, q, l, wrote, _cat = out  # noqa: E741
                 keep &= wrote
             elif k == "fastx_artifacts_filter":
                 keep &= transforms.artifacts_keep(b, l)
@@ -289,10 +299,108 @@ def build_step(cfgs):
             elif k == "fastq_to_fasta":
                 if not c["keep_n"]:
                     keep &= ~transforms.contains_n(b, l)
-            stage_counts.append(jnp.sum(jnp.where(keep, counts, 0)))
-        return b, q, l, keep, jnp.stack(stage_counts), jnp.min(first_forbidden)
+            stage_counts.append(keep)
+        # fragile rows are excluded from every stage tally — the caller
+        # re-adds their host-replayed contributions (per-stage keep masks
+        # are recorded, counts derived after the final fragile set exists)
+        counts_eff = jnp.where(fragile, 0, counts)
+        stage_totals = jnp.stack(
+            [jnp.sum(jnp.where(kk, counts_eff, 0)) for kk in stage_counts]
+        )
+        return (b, q, l, keep, stage_totals,
+                jnp.min(first_forbidden), fragile)
 
     return jax.jit(step)
+
+
+def host_replay_chain(cfgs, bases, quals, lengths):
+    """numpy replay of build_step for a (small) subset of reads, with the
+    clipper stages decided by the bit-faithful float32 engine — the
+    tie-fragile override of the classic per-batch path (mirrors
+    engine/hostfix.py for the fused-engine path).  Returns
+    (bases, quals, lengths, keep, keep_after_stage list)."""
+    from ...core.records import BaseCode
+    from ...engine import hostfix
+
+    b = np.asarray(bases, np.uint8).copy()
+    q = np.asarray(quals, np.int16).copy()
+    l = np.asarray(lengths, np.int32).copy()  # noqa: E741
+    n, W = b.shape
+    cols = np.arange(W)[None, :]
+    keep = np.ones(n, bool)
+    keep_after = []
+    for c in cfgs:
+        k = c["kind"]
+        in_len = cols < l[:, None]
+        if k == "fastx_trimmer":
+            if c["last"] != 0:
+                l = np.minimum(l, c["last"])  # noqa: E741
+            if c["first"] != 1:
+                f = c["first"]
+                keep &= l >= f
+                b = np.concatenate(
+                    [b[:, f - 1:], np.zeros((n, f - 1), b.dtype)], axis=1
+                )
+                q = np.concatenate(
+                    [q[:, f - 1:], np.zeros((n, f - 1), q.dtype)], axis=1
+                )
+                l = l - (f - 1)  # noqa: E741
+            if c["trim_end"] > 0:
+                keep &= l > c["trim_end"]
+                l = l - c["trim_end"]  # noqa: E741
+                keep &= l >= c["min_len"]
+            l = np.maximum(l, 0)  # noqa: E741
+            b = np.where(cols < l[:, None], b, 0).astype(np.uint8)
+            q = np.where(cols < l[:, None], q, 0)
+        elif k == "fastq_quality_filter":
+            below = ((q < c["q"]) & in_len).sum(axis=1)
+            keep &= below <= (l * (100 - c["p"])) // 100
+        elif k == "fastq_quality_trimmer":
+            passing = in_len & (q >= c["t"])
+            pos1 = np.where(passing, cols + 1, 0)
+            new_l = pos1.max(axis=1).astype(np.int32)
+            keep &= (new_l > 0) & (new_l >= c["l"])
+            l = new_l  # noqa: E741
+            b = np.where(cols < l[:, None], b, 0).astype(np.uint8)
+            q = np.where(cols < l[:, None], q, 0)
+        elif k == "fastq_masker":
+            b = np.where(in_len & (q < c["q"]), np.uint8(c["mask"]), b)
+        elif k == "fastx_clipper":
+            new_len, write, _cat = hostfix.clip_decide_np(
+                b, l, c["adapter"], min_length=c["min_length"],
+                keep_delta=c["keep_delta"],
+                discard_non_clipped=c["discard_non_clipped"],
+                discard_clipped=c["discard_clipped"], keep_n=c["keep_n"],
+                show_adapter_only=c["show_adapter_only"],
+                min_adapter_len=c["min_adapter"],
+            )
+            keep &= write
+            l = new_len.astype(np.int32)  # noqa: E741
+            b = np.where(cols < l[:, None], b, 0).astype(np.uint8)
+            q = np.where(cols < l[:, None], q, 0)
+        elif k == "fastx_artifacts_filter":
+            worst = np.zeros(n, np.int64)
+            for ch in b"ACGT":
+                worst = np.maximum(
+                    worst, ((b == ch) & (cols < l[:, None])).sum(axis=1)
+                )
+            keep &= ~(worst >= l - 3)
+        elif k == "fastx_reverse_complement":
+            comp = np.asarray(BaseCode.COMPLEMENT)[b.astype(np.int32)]
+            idx = np.where(cols < l[:, None],
+                           l[:, None] - 1 - cols, cols)
+            b = np.take_along_axis(comp, idx, axis=1).astype(np.uint8)
+            if c["is_fastq"]:
+                q = np.take_along_axis(q, idx, axis=1)
+        elif k == "fasta_nucleotide_changer":
+            src, dst = (b"T", b"U") if c["rna"] else (b"U", b"T")
+            hit = (b == src[0]) & (cols < l[:, None])
+            b = np.where(hit, np.uint8(dst[0]), b)
+        elif k == "fastq_to_fasta":
+            if not c["keep_n"]:
+                keep &= ~(((b == ord("N")) & (cols < l[:, None])).any(axis=1))
+        keep_after.append(keep.copy())
+    return b, q, l, keep, keep_after
 
 
 def tool_main(ctx: CliContext, argv) -> int:
@@ -371,23 +479,51 @@ def tool_main(ctx: CliContext, argv) -> int:
     for chunk, line_base in chunks:
         batch = reader.parse_chunk(chunk, line_base)
         if step is None:
+            import os
+
             rename_output = any(
                 c["kind"] == "fastq_to_fasta" and c.get("rename") for c in cfgs
             )
-            step = build_step(cfgs)
+            tie_fix = not os.environ.get("FASTX_TPU_NO_TIE_FIX")
+            step = build_step(cfgs, tie_fix=tie_fix)
             stage_totals = np.zeros(len(cfgs), np.int64)
         (bases, quals, lengths, counts), nb = to_device(batch)
-        b, q, l, keep, scounts, min_fb = step(bases, quals, lengths, counts)  # noqa: E741
+        b, q, l, keep, scounts, min_fb, fragile = step(  # noqa: E741
+            bases, quals, lengths, counts
+        )
         if int(min_fb) < b.shape[1]:
             # reproduce fasta_nucleotide_changer's abort (position is
             # approximate to the batch; the reference reports per line)
             errx(ctx, "invalid nucleotide in pipeline input (fasta_nucleotide_changer)")
         n_in += int(batch.counts.sum())
         stage_totals += np.asarray(scounts, np.int64)
-        batch.bases = np.asarray(b)[:nb]
-        batch.quals = np.asarray(q)[:nb]
-        batch.lengths = np.asarray(l)[:nb]
-        out = batch.select(np.asarray(keep)[:nb])
+        b = np.asarray(b)
+        q = np.asarray(q)
+        l = np.asarray(l).copy()  # noqa: E741
+        keep = np.asarray(keep).copy()
+        frag = np.asarray(fragile)[:nb] if tie_fix else None
+        if tie_fix and frag.any():
+            # float-tie fragile rows: replay the whole chain on host with
+            # the float32 clipper so output matches the C exactly (the
+            # fused engine path does the same via engine/hostfix.py);
+            # the device excluded these rows from its stage tallies
+            idx = np.nonzero(frag)[0]
+            fb2, fq2, fl2, fk2, fka = host_replay_chain(
+                cfgs, bases[idx], quals[idx], lengths[idx]
+            )
+            b = b.copy()
+            q = q.copy()
+            b[idx] = fb2
+            q[idx] = fq2
+            l[idx] = fl2
+            cnt = counts[idx]
+            for si in range(len(cfgs)):
+                stage_totals[si] += int(cnt[fka[si]].sum())
+            keep[idx] = fk2
+        batch.bases = b[:nb]
+        batch.quals = q[:nb]
+        batch.lengths = l[:nb]
+        out = batch.select(keep[:nb])
         if rename_output:
             from ...core.records import StringColumn
 

@@ -70,29 +70,59 @@ def _build(key: str) -> bool:
             check=True, capture_output=True, timeout=120,
         )
         with open(_META, "w") as fh:
-            fh.write(key)
+            fh.write(key + "\n" + _fast_sig())
         return True
     except Exception:
         return False
 
 
+def _fast_sig() -> str:
+    """Cheap per-import signature: source (mtime, size) + machine.  Used
+    to skip the full hash + g++ probe on the overwhelmingly common case
+    (nothing changed since the artifact was built)."""
+    import platform
+
+    st = os.stat(_SRC)
+    return "%d:%d:%s" % (st.st_mtime_ns, st.st_size, platform.machine())
+
+
 def _load():
     if not os.path.exists(_SRC):
         return None
+    # fast path: the meta's second line caches the (mtime, size, machine)
+    # signature observed when the artifact was built/validated; a match
+    # skips the sha256 + 'g++ -march=native' probe entirely (~50 ms of
+    # CLI startup)
     try:
-        key = _build_key()
+        fast = _fast_sig()
     except OSError:
         return None
     stale = True
+    key = None
     if os.path.exists(_SO) and os.path.exists(_META):
         try:
             with open(_META) as fh:
-                stale = fh.read().strip() != key
+                lines = fh.read().splitlines()
+            if len(lines) >= 2 and lines[1] == fast:
+                stale = False
+            else:
+                key = _build_key()
+                stale = lines[:1] != [key]
         except OSError:
             stale = True
     if stale:
+        if key is None:
+            try:
+                key = _build_key()
+            except OSError:
+                return None
         if not _build(key):
             return None
+    elif key is not None:
+        # content matched but the fast signature didn't (e.g. a touch):
+        # refresh the cached signature
+        with open(_META, "w") as fh:
+            fh.write(key + "\n" + fast)
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -182,7 +182,6 @@ def _thresholds(cfg: PipelineConfig) -> tuple[int, ...]:
 # 2-bit variant: when a chunk is pure uppercase ACGTN (codes 0..5 — the
 # overwhelmingly common case for sequencer output), bases fit in 2 bits
 # with Ns carried as one extra bit-plane alongside the quality planes.
-_ACGT = np.frombuffer(b"ACGT", np.uint8)
 _IS_ACGTN = np.zeros(256, bool)
 for _ch in b"\0ACGTN":
     _IS_ACGTN[_ch] = True

@@ -83,12 +83,14 @@ def engine_auto(kind: str) -> str:
 
 
 def resolve(kind: str, override: str | None) -> str:
-    """Apply an explicit override ('host'/'device'/'auto'/None) over the
-    auto policy, validating that a forced host engine is available."""
+    """Apply an explicit override ('host'/'device') over the auto policy.
+
+    Unrecognized override strings fall back to auto (matching the
+    historical FASTX_STATS_PATH/FASTX_COLLAPSE_PATH tolerance — a typo'd
+    env var must not crash a streaming tool); a forced host engine
+    without the native library is the one hard error, as before."""
     from ..core import native
 
-    if override in (None, "", "auto"):
-        return engine_auto(kind)
     if override == "host":
         if native.LIB is None:
             raise RuntimeError(
@@ -98,4 +100,4 @@ def resolve(kind: str, override: str | None) -> str:
         return "host"
     if override == "device":
         return "device"
-    raise ValueError("bad engine override %r for %s" % (override, kind))
+    return engine_auto(kind)

@@ -316,7 +316,10 @@ def align_batch(bases, lengths, adapter: bytes, tie_flag: bool = False):
         engine could resolve it the other way).  Tuple slot 5 is the
         neutral count, slot 8 the flag."""
         ywins = (b[0] > a[0]) | ((b[0] == a[0]) & b[1])
-        tie = (b[0] == a[0]) & ((a[5] + b[5]) > 0)
+        # a tie is fragile if either side carries neutrals OR an inherited
+        # fragile bit (a fragile cell's float VALUE can differ from the
+        # exact value even with its own neutral count at 0)
+        tie = (b[0] == a[0]) & (((a[5] + b[5]) > 0) | a[8] | b[8])
         out = tuple(jnp.where(ywins, yb, ya) for ya, yb in zip(a, b))
         return out[:8] + (out[8] | tie,)
 
@@ -384,7 +387,9 @@ def align_batch(bases, lengths, adapter: bytes, tie_flag: bool = False):
         if tie_flag:
             # an exact UL/LEFT tie with a neutral on either path is
             # float-fragile whichever side the priority rule picked
-            t1 = (left_sc == ul_sc) & ((ul_nm + left_nm) > 0)
+            t1 = (left_sc == ul_sc) & (
+                ((ul_nm + left_nm) > 0) | ul_fl | left_fl
+            )
             e_fl = jnp.where(lw, left_fl, ul_fl) | t1
         else:
             e_fl = jnp.zeros((H, B), bool)
@@ -405,7 +410,7 @@ def align_batch(bases, lengths, adapter: bytes, tie_flag: bool = False):
         e_qs = jnp.where(up0_better, x, e_qs)
         e_ts = jnp.where(up0_better, 0, e_ts)
         if tie_flag:
-            t2 = row0 & (up0_sc == e_sc) & (e_nm > 0)
+            t2 = row0 & (up0_sc == e_sc) & ((e_nm > 0) | e_fl)
             e_fl = jnp.where(up0_better, False, e_fl) | t2
 
         # --- up-chain via associative scan over y ---
@@ -445,15 +450,17 @@ def align_batch(bases, lengths, adapter: bytes, tie_flag: bool = False):
         if tie_flag:
             # inter-row exact tie at the column max with a neutral on any
             # tied row: the first-y rule is float-fragile
-            t5 = (jnp.sum(ymask, axis=0) > 1) & (
-                jnp.sum(jnp.where(ymask, c_nm, 0), axis=0) > 0
-            )
-            # exact tie against the running global best with neutrals on
-            # either side: the keep-old rule is float-fragile
-            t4 = (x < lengths) & (col_best == best) & (
-                (pick(c_nm) + bnm) > 0
-            )
             cfl_sel = pick(c_fl.astype(jnp.int32)) > 0
+            t5 = (jnp.sum(ymask, axis=0) > 1) & (
+                (jnp.sum(jnp.where(ymask, c_nm, 0), axis=0) > 0)
+                | (jnp.sum(jnp.where(ymask, c_fl, False).astype(jnp.int32),
+                           axis=0) > 0)
+            )
+            # exact tie against the running global best with neutrals or
+            # inherited fragility on either side: keep-old is float-fragile
+            t4 = (x < lengths) & (col_best == best) & (
+                ((pick(c_nm) + bnm) > 0) | cfl_sel | bfl
+            )
             bfl = jnp.where(improve, cfl_sel | t5, bfl) | t4
         best = upd(best, col_best)
         bm = upd(bm, pick(c_m))

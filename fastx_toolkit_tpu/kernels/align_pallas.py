@@ -241,7 +241,8 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int,
             e_P2 = jnp.where(lw, left_P2, ul_P2)
             if tie_flag:
                 t1 = (left_sc == ul_sc) & (
-                    ((ul_P1 | left_P1) & 0xFF0000) != 0
+                    (((ul_P1 | left_P1) & 0xFF0000) != 0)
+                    | ((ul_P2 | left_P2) < 0)  # inherited fragile bits
                 )
 
             # y==0 border-up candidate (priority UP: beats LEFT ties only;
@@ -250,7 +251,7 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int,
             up0_better = row0 & (2 * GAP >= e_key)
             if tie_flag:
                 t2 = row0 & ((e_key | 1) == 2 * GAP + 1) & (
-                    (e_P1 & 0xFF0000) != 0
+                    ((e_P1 & 0xFF0000) != 0) | (e_P2 < 0)
                 )
             e_key = jnp.where(up0_better, 2 * GAP, e_key)
             e_P1 = jnp.where(up0_better, 0, e_P1)
@@ -280,7 +281,8 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int,
                 ywins = (kb > ka) | ((kb == ka) & ((kb & 1) == 1))
                 if tie_flag:
                     ts_tie = (((ka ^ kb) | 1) == 1) & (
-                        ((shifted[1] | state[1]) & 0xFF0000) != 0
+                        (((shifted[1] | state[1]) & 0xFF0000) != 0)
+                        | ((shifted[2] | state[2]) < 0)
                     )
                 state = tuple(
                     jnp.where(ywins, sb, sa) for sa, sb in zip(shifted, state)
@@ -298,7 +300,9 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int,
             xv = (x < lengths)[None, :]
             improve = (cur > bsc) & xv
             if tie_flag:
-                t4 = (cur == bsc) & xv & (((cP1 | bP1) & 0xFF0000) != 0)
+                t4 = (cur == bsc) & xv & (
+                    (((cP1 | bP1) & 0xFF0000) != 0) | ((cP2 | bP2) < 0)
+                )
                 bP2 = jnp.where(improve, cP2,
                                 bP2 | (t4.astype(jnp.int32) << 31))
             else:
@@ -341,7 +345,10 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int,
             if tie_flag:
                 cand0 = sc == m[None, :]
                 multi = jnp.sum(cand0.astype(jnp.int32), axis=0) > 1
-                nmrow = cand0 & ((best_scr[_BP1] & 0xFF0000) != 0)
+                nmrow = cand0 & (
+                    ((best_scr[_BP1] & 0xFF0000) != 0)
+                    | (best_scr[_BP2] < 0)
+                )
                 t5 = multi & (jnp.sum(nmrow.astype(jnp.int32), axis=0) > 0)
                 tf_ref[:] = ((bp2 >> 31) & 1) | t5.astype(jnp.int32)
 
@@ -466,7 +473,8 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
                 if tie_flag:
                     # exact UL/LEFT tie with a neutral on either path
                     t1 = (left_sc == ul_sc) & (
-                        ((ul_P1 | left_P1) & 0xFF0000) != 0
+                        (((ul_P1 | left_P1) & 0xFF0000) != 0)
+                        | ((ul_P2 | left_P2) < 0)  # inherited fragile bits
                     )
 
                 up0_better = row0 & (2 * GAP >= e_key)
@@ -474,7 +482,7 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
                     # score tie vs the border-up candidate (no neutrals
                     # on its side; e's ul bit is irrelevant to the tie)
                     t2 = row0 & ((e_key | 1) == 2 * GAP + 1) & (
-                        (e_P1 & 0xFF0000) != 0
+                        ((e_P1 & 0xFF0000) != 0) | (e_P2 < 0)
                     )
                 e_key = jnp.where(up0_better, 2 * GAP, e_key)
                 e_P1 = jnp.where(up0_better, 0, e_P1)
@@ -504,7 +512,8 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
                         # neutrals on either tying path — computed on the
                         # PRE-select payloads so the loser's neutrals count
                         ts_tie = (((ka ^ kb) | 1) == 1) & (
-                            ((shifted[1] | state[1]) & 0xFF0000) != 0
+                            (((shifted[1] | state[1]) & 0xFF0000) != 0)
+                            | ((shifted[2] | state[2]) < 0)
                         )
                     state = tuple(
                         jnp.where(ywins, sb, sa)
@@ -523,7 +532,7 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
                 if tie_flag:
                     # tie vs the OLD running best (before this update)
                     t4 = (cur == bsc) & xv & (
-                        ((cP1 | bP1) & 0xFF0000) != 0
+                        (((cP1 | bP1) & 0xFF0000) != 0) | ((cP2 | bP2) < 0)
                     )
                     bP2 = jnp.where(improve, cP2,
                                     bP2 | (t4.astype(jnp.int32) << 31))
@@ -565,7 +574,10 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
                 # any tied row (the first-(x,y) rule is float-fragile)
                 cand0 = sc == m[None, :]
                 multi = jnp.sum(cand0.astype(jnp.int32), axis=0) > 1
-                nmrow = cand0 & ((best_scr[_BP1] & 0xFF0000) != 0)
+                nmrow = cand0 & (
+                    ((best_scr[_BP1] & 0xFF0000) != 0)
+                    | (best_scr[_BP2] < 0)
+                )
                 t5 = multi & (jnp.sum(nmrow.astype(jnp.int32), axis=0) > 0)
                 tf_ref[:] = ((bp2 >> 31) & 1) | t5.astype(jnp.int32)
 

@@ -493,3 +493,45 @@ def test_pipeline_differential_n_reads(refbin):
     r = run_tool(fastx_pipeline, ["-Q", "33", chain], data)
     assert r.status == 0, r.stderr
     assert r.stdout == cdata
+
+
+@pytest.mark.slow
+def test_pipeline_classic_path_differential_n_reads(refbin, monkeypatch):
+    """The pipeline CLI's classic per-batch fallback (-v / no line path)
+    must ALSO match the C on N-heavy uniform-width lanes: its clipper
+    stages flag tie-fragile rows and host_replay_chain re-decides them
+    with the float32 engine."""
+    from fastx_toolkit_tpu.cli.tools import fastx_pipeline
+
+    adapter = "CTGTAGGCACCATCAAT"
+    rng = np.random.default_rng(19)
+    out = []
+    for i in range(600):
+        L = 60
+        seq = bytearray(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L,
+                                   p=[0.22, 0.22, 0.22, 0.22, 0.12]))
+        if rng.random() < 0.5:
+            pos = int(rng.integers(0, L - 4))
+            ins = bytearray(adapter.encode()[: int(rng.integers(3, 18))])
+            for k in range(len(ins)):
+                if rng.random() < 0.1:
+                    ins[k] = ord("N")
+            seq[pos:pos + len(ins)] = ins[: max(0, L - pos)]
+        qual = bytes((rng.integers(0, 41, L) + 33).astype(np.uint8))
+        out.append(b"@r%d" % i + b"\n" + bytes(seq) + b"\n+\n" + qual + b"\n")
+    data = b"".join(out)
+    stages = [
+        ("fastq_masker", ["-Q", "33", "-q", "8"]),
+        ("fastx_clipper", ["-Q", "33", "-a", adapter, "-n"]),
+        ("fastx_artifacts_filter", ["-Q", "33"]),
+    ]
+    cdata = data
+    for tool, argv in stages:
+        rc, cdata, _ = run_c(refbin, tool, argv, cdata)
+        assert rc == 0
+    chain = ("fastq_masker -q 8 | fastx_clipper -a %s -n"
+             " | fastx_artifacts_filter" % adapter)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")  # force the classic path
+    r = run_tool(fastx_pipeline, ["-Q", "33", chain], data)
+    assert r.status == 0, r.stderr
+    assert r.stdout == cdata

@@ -19,7 +19,11 @@ needs_native = pytest.mark.skipif(
 def test_build_key_is_stable():
     assert native._build_key() == native._build_key()
     with open(native._META) as fh:
-        assert fh.read().strip() == native._build_key()
+        lines = fh.read().splitlines()
+    assert lines[0] == native._build_key()
+    # second line: the fast (mtime, size, machine) signature that lets
+    # _load skip the hash + g++ probe on unchanged sources
+    assert lines[1] == native._fast_sig()
 
 
 @needs_native
@@ -33,7 +37,7 @@ def test_stale_binary_triggers_rebuild():
     assert lib is not None
     assert os.path.getmtime(native._SO) >= mtime_before
     with open(native._META) as fh:
-        assert fh.read().strip() == native._build_key()
+        assert fh.read().splitlines()[0] == native._build_key()
 
 
 @needs_native

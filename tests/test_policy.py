@@ -59,8 +59,8 @@ def test_resolve_overrides(monkeypatch):
     monkeypatch.setattr(native, "LIB", None)
     with pytest.raises(RuntimeError):
         policy.resolve("stats", "host")
-    with pytest.raises(ValueError):
-        policy.resolve("stats", "bogus")
+    # unrecognized override strings (typo'd env vars) fall back to auto
+    assert policy.resolve("stats", "bogus") == policy.engine_auto("stats")
     with pytest.raises(ValueError):
         policy.engine_auto("bogus")
 
