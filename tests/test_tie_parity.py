@@ -111,3 +111,54 @@ def test_native_clip_float_matches_numpy():
     rp = align_batch_float32(bases, lengths, ADAPTER)
     for k in FIELDS:
         np.testing.assert_array_equal(np.asarray(rn[k]), np.asarray(rp[k]))
+
+
+def test_cascades_agree_across_implementations():
+    """The cutoff heuristics + discard cascade exist in three forms
+    (ops/clipper jnp, engine/hostfix numpy, and inside clip_batch); on
+    N-free inputs the float32 and exact engines coincide, so all three
+    must produce identical (new_len, write, cat) — this pins them
+    against drift."""
+    import itertools
+
+    from fastx_toolkit_tpu.engine import hostfix
+    from fastx_toolkit_tpu.ops.clipper import (
+        adapter_cutoff_index,
+        clip_batch,
+    )
+
+    rng = np.random.default_rng(53)
+    B, L = 128, 48
+    bases, lengths = _nlane(rng, B, L, n_rate=0.0)
+    quals = np.zeros((B, L), np.int8)
+    for minlen, keep_n, dnc, dc, show, mal in itertools.product(
+        (5, 15), (True, False), (False, True), (False,), (False, True), (0, 6)
+    ):
+        out = clip_batch(
+            bases, quals, lengths, adapter=ADAPTER, min_length=minlen,
+            keep_delta=0, discard_non_clipped=dnc, discard_clipped=dc,
+            keep_n=keep_n, show_adapter_only=show, min_adapter_len=mal,
+        )
+        _b, _q, nl_j, wr_j, cat_j = out
+        nl_n, wr_n, cat_n = hostfix.clip_decide_np(
+            bases, lengths, ADAPTER, min_length=minlen, keep_delta=0,
+            discard_non_clipped=dnc, discard_clipped=dc, keep_n=keep_n,
+            show_adapter_only=show, min_adapter_len=mal,
+        )
+        np.testing.assert_array_equal(np.asarray(nl_j), nl_n)
+        np.testing.assert_array_equal(np.asarray(wr_j), wr_n)
+        np.testing.assert_array_equal(np.asarray(cat_j), cat_n)
+    # the standalone numpy cutoff equals the jnp one on arbitrary stats
+    res = {
+        "matches": rng.integers(0, 18, B), "mismatches": rng.integers(0, 4, B),
+        "gaps": rng.integers(0, 3, B), "neutral": rng.integers(0, 3, B),
+        "query_start": rng.integers(0, L, B),
+        "query_end": rng.integers(0, L, B),
+        "target_start": rng.integers(0, 17, B),
+        "target_end": rng.integers(0, 17, B),
+    }
+    for mal in (0, 7):
+        np.testing.assert_array_equal(
+            np.asarray(adapter_cutoff_index(res, lengths, min_adapter_len=mal)),
+            hostfix.cutoff_index_np(res, lengths, mal),
+        )
