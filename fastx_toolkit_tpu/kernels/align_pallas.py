@@ -102,12 +102,14 @@ def tile_for(H: int) -> int | None:
 
 def packed_tile_for(H: int) -> int | None:
     """Batch-tile for the packed kernel, or None -> use the unpacked
-    kernel.  Its Mosaic stack keeps ~28 live [H_pad, tile] planes
-    (measured), so H_pad*tile is budgeted to ~130K elements."""
+    kernel.  Mosaic keeps ~28-40 live [H_pad, tile] stack planes for the
+    unrolled body (more with the tie-flag compares), so H_pad*tile is
+    budgeted to ~72K elements (measured: 104x1024 with flags = 20.2 MB,
+    over the 16 MB limit; 104x1024 without = fits)."""
     H_pad = _h_pad(H)
-    if H_pad <= 64:
+    if H_pad <= 32:
         return 2048
-    if H_pad <= 128:
+    if H_pad <= 72:
         return 1024
     return None
 
@@ -380,6 +382,17 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
     those relayouts.)"""
     window = scan_window(H, H_pad)
     nscan = max(1, int(np.ceil(np.log2(window))))
+    # exactness-preserving score clamp (see the int16 note above): a
+    # clamped (raised) value can reach at most FLOOR + 10*H with every
+    # future gain, strictly below every max-relevant cell's minimum
+    # M - 10*H >= -(10*H + 10), so clamp-tainted values can never win nor
+    # tie any cell that influences the result.  With the clamp, the
+    # per-row best (score, first-x) packs into ONE int32 key:
+    # score * 2^15 + (2^15 - 1 - x).  x < 2^15 always (reads <= 25000),
+    # |key| <= (20*H + 11 + 10) * 2^15 < 2^31 for H <= 255; and since x
+    # strictly increases, an equal-score later candidate compares BELOW
+    # the held key — exactly the C's strict-greater first-wins rule.
+    FLOOR = -(20 * H + 11)
 
     def kernel(*refs):
         if has_nm:
@@ -408,12 +421,18 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
 
         @pl.when(xg == 0)
         def _init():
-            col_scr[0] = jnp.broadcast_to(target_border, (H_pad, tile_b))
+            col_scr[0] = jnp.broadcast_to(
+                jnp.maximum(target_border, FLOOR), (H_pad, tile_b)
+            )
             col_scr[1] = jnp.broadcast_to((ys + 1) << 24, (H_pad, tile_b))
             col_scr[2] = jnp.zeros((H_pad, tile_b), jnp.int32)
-            best_scr[_BSC] = jnp.full((H_pad, tile_b), NEG_BEST, jnp.int32)
-            for k in (_BP1, _BP2, _BX):
-                best_scr[k] = jnp.zeros((H_pad, tile_b), jnp.int32)
+            # best key = FLOOR score at virtual x=0: no real max-relevant
+            # cell can tie it (true max M >= -10 > FLOOR)
+            best_scr[0] = jnp.full(
+                (H_pad, tile_b), (FLOOR << 15) | 32767, jnp.int32
+            )
+            best_scr[1] = jnp.zeros((H_pad, tile_b), jnp.int32)
+            best_scr[2] = jnp.zeros((H_pad, tile_b), jnp.int32)
 
         @pl.when(xg * 8 < tile_maxlen)
         def _cols():
@@ -421,8 +440,7 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
               # scratch round-trip, small enough that Mosaic's live
               # temporaries fit VMEM even for 100+-row adapters
               psc, pP1, pP2 = col_scr[0], col_scr[1], col_scr[2]
-              bsc, bP1, bP2, bXx = (best_scr[_BSC], best_scr[_BP1],
-                                    best_scr[_BP2], best_scr[_BX])
+              bkey, bP1, bP2 = best_scr[0], best_scr[1], best_scr[2]
               for jj in range(8):
                 x = xg * 8 + jj
                 j4 = (x // 4) % 4      # byte within the bases word
@@ -523,60 +541,62 @@ def _make_kernel_packed(H: int, H_pad: int, L_pad: int, tile_b: int,
                         state = (state[0], state[1],
                                  state[2] | (ts_tie.astype(jnp.int32) << 31))
                 ckey, cP1, cP2a = state
-                cur = (ckey >> 1) + gap_y
+                cur = jnp.maximum((ckey >> 1) + gap_y, FLOOR)
                 cP2 = cP2a - bias_col
                 psc, pP1, pP2 = cur, cP1, cP2
 
                 xv = (x < lengths)[None, :]
-                improve = (cur > bsc) & xv
+                candkey = (cur << 15) | (32767 - x)
+                improve = (candkey > bkey) & xv
                 if tie_flag:
                     # tie vs the OLD running best (before this update)
-                    t4 = (cur == bsc) & xv & (
+                    t4 = (cur == (bkey >> 15)) & xv & (
                         (((cP1 | bP1) & 0xFF0000) != 0) | ((cP2 | bP2) < 0)
                     )
                     bP2 = jnp.where(improve, cP2,
                                     bP2 | (t4.astype(jnp.int32) << 31))
                 else:
                     bP2 = jnp.where(improve, cP2, bP2)
-                bsc = jnp.where(improve, cur, bsc)
+                bkey = jnp.where(improve, candkey, bkey)
                 bP1 = jnp.where(improve, cP1, bP1)
-                bXx = jnp.where(improve, x, bXx)
               col_scr[0], col_scr[1], col_scr[2] = psc, pP1, pP2
-              best_scr[_BSC], best_scr[_BP1] = bsc, bP1
-              best_scr[_BP2], best_scr[_BX] = bP2, bXx
+              best_scr[0], best_scr[1], best_scr[2] = bkey, bP1, bP2
 
         @pl.when(xg == pl.num_programs(1) - 1)
         def _finish():
-            sc = jnp.where(ys < H, best_scr[_BSC], NEG_BEST - 1)
-            m = jnp.max(sc, axis=0)
-            cand = sc == m[None, :]
-            bx = best_scr[_BX]
-            minbx = jnp.min(jnp.where(cand, bx, jnp.int32(1 << 30)), axis=0)
-            cand &= bx == minbx[None, :]
+            # the packed best key orders (score, first-x) at once: its
+            # row-max IS the global max with the smallest attaining x
+            kk = jnp.where(ys < H, best_scr[0],
+                           jnp.int32((FLOOR - 1) << 15))
+            m = jnp.max(kk, axis=0)
+            cand = kk == m[None, :]
             ymin = jnp.min(jnp.where(cand, ysb, H_pad), axis=0)
             sel = ysb == ymin[None, :]
 
             def pick(a):
                 return jnp.sum(jnp.where(sel, a, 0), axis=0)
 
-            bp1 = pick(best_scr[_BP1])
-            bp2 = pick(best_scr[_BP2])
+            bp1 = pick(best_scr[1])
+            bp2 = pick(best_scr[2])
             m_ref[:] = bp1 & 0xFF
             mm_ref[:] = (bp1 >> 8) & 0xFF
             nm_ref[:] = (bp1 >> 16) & 0xFF
             ts_ref[:] = (bp1 >> 24) & 0xFF
             qs_ref[:] = bp2 & 0xFFFF
             g_ref[:] = (bp2 >> 16) & 0x7FFF
-            qe_ref[:] = pick(bx)
+            qe_ref[:] = jnp.where(ymin == H_pad, 0, 32767 - (m & 32767))
             te_ref[:] = jnp.where(ymin == H_pad, 0, ymin)
             if tie_flag:
-                # cross-row exact tie at the global max with neutrals on
-                # any tied row (the first-(x,y) rule is float-fragile)
-                cand0 = sc == m[None, :]
+                # cross-row SCORE tie at the global max with neutrals or
+                # fragility on any tied row (first-(x,y) is float-fragile);
+                # score-tie = key-tie ignoring the low 15 x bits
+                sc_row = best_scr[0] >> 15
+                msc = m >> 15
+                cand0 = (ys < H) & (sc_row == msc[None, :])
                 multi = jnp.sum(cand0.astype(jnp.int32), axis=0) > 1
                 nmrow = cand0 & (
-                    ((best_scr[_BP1] & 0xFF0000) != 0)
-                    | (best_scr[_BP2] < 0)
+                    ((best_scr[1] & 0xFF0000) != 0)
+                    | (best_scr[2] < 0)
                 )
                 t5 = multi & (jnp.sum(nmrow.astype(jnp.int32), axis=0) > 0)
                 tf_ref[:] = ((bp2 >> 31) & 1) | t5.astype(jnp.int32)
@@ -677,7 +697,7 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((3, H_pad, tile_b), jnp.int32),
-            pltpu.VMEM((4, H_pad, tile_b), jnp.int32),
+            pltpu.VMEM((3, H_pad, tile_b), jnp.int32),
         ],
         interpret=interpret,
     )(*operands)
