@@ -336,14 +336,14 @@ def host_replay_chain(cfgs, bases, quals, lengths):
             if c["last"] != 0:
                 l = np.minimum(l, c["last"])  # noqa: E741
             if c["first"] != 1:
+                # the device step slices the width down (transforms.trimmer);
+                # mirror it so patched rows match the device output shape
                 f = c["first"]
                 keep &= l >= f
-                b = np.concatenate(
-                    [b[:, f - 1:], np.zeros((n, f - 1), b.dtype)], axis=1
-                )
-                q = np.concatenate(
-                    [q[:, f - 1:], np.zeros((n, f - 1), q.dtype)], axis=1
-                )
+                b = b[:, f - 1:]
+                q = q[:, f - 1:]
+                W = b.shape[1]
+                cols = np.arange(W)[None, :]
                 l = l - (f - 1)  # noqa: E741
             if c["trim_end"] > 0:
                 keep &= l > c["trim_end"]

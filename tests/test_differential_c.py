@@ -535,3 +535,40 @@ def test_pipeline_classic_path_differential_n_reads(refbin, monkeypatch):
     r = run_tool(fastx_pipeline, ["-Q", "33", chain], data)
     assert r.status == 0, r.stderr
     assert r.stdout == cdata
+
+
+@pytest.mark.slow
+def test_pipeline_classic_replay_trimmer_revcomp(refbin, monkeypatch):
+    """host_replay_chain's trimmer-shift and reverse-complement branches
+    against the C chain (classic path, N-heavy uniform-width lane)."""
+    from fastx_toolkit_tpu.cli.tools import fastx_pipeline
+
+    adapter = "CTGTAGGCACCATCAAT"
+    rng = np.random.default_rng(29)
+    out = []
+    for i in range(500):
+        L = 64
+        seq = bytearray(rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=L,
+                                   p=[0.22, 0.22, 0.22, 0.22, 0.12]))
+        if rng.random() < 0.5:
+            pos = int(rng.integers(0, L - 4))
+            ins = bytearray(adapter.encode()[: int(rng.integers(3, 18))])
+            seq[pos:pos + len(ins)] = ins[: max(0, L - pos)]
+        qual = bytes((rng.integers(0, 41, L) + 33).astype(np.uint8))
+        out.append(b"@r%d" % i + b"\n" + bytes(seq) + b"\n+\n" + qual + b"\n")
+    data = b"".join(out)
+    stages = [
+        ("fastx_trimmer", ["-Q", "33", "-f", "3", "-l", "60"]),
+        ("fastx_reverse_complement", ["-Q", "33"]),
+        ("fastx_clipper", ["-Q", "33", "-a", adapter, "-n"]),
+    ]
+    cdata = data
+    for tool, argv in stages:
+        rc, cdata, _ = run_c(refbin, tool, argv, cdata)
+        assert rc == 0
+    chain = ("fastx_trimmer -f 3 -l 60 | fastx_reverse_complement"
+             " | fastx_clipper -a %s -n" % adapter)
+    monkeypatch.setenv("FASTX_TPU_NO_LINEPATH", "1")
+    r = run_tool(fastx_pipeline, ["-Q", "33", chain], data)
+    assert r.status == 0, r.stderr
+    assert r.stdout == cdata
