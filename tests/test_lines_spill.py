@@ -44,7 +44,6 @@ def _lane(n, seed=11, with_n_after=None, numeric_at=(), lens=(5, 60)):
 
 def _run(data, *, chunk_rows, block_bytes=1 << 20, engines=None, cfg=CFG):
     args = SimpleNamespace(input_filename="<test>", q_offset=33)
-    reader = codec and None  # placeholder for lint
     from fastx_toolkit_tpu.cli.tools._shared import BatchReader
 
     reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
