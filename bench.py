@@ -1177,15 +1177,23 @@ def sol_accounting(config_n: int, measured_rps: float):
     elif config_n == 3:
         hbm = 2.0 * L + 8
         sol_bw = V5E_HBM_BPS / hbm
-        flops = 2.0 * 654 * L
-        sol_vpu = V5E_MXU_FLOPS / flops
-        bound = "hbm"
+        # the histogram's real cost is the one-hot CONSTRUCTION on the
+        # VPU (a [tile, 654] compare per position), not the MXU product:
+        # L * 654/1024 vector instrs per read
+        vinstr = L * 654.0 / 1024.0
+        sol_vpu = V5E_VPU_VINSTR_PS / vinstr
+        bound = "vpu-onehot"
     else:  # 5
-        passes = 18  # ~log2(262144) radix/merge passes of a device sort
+        # XLA lowers jnp sort to a bitonic network: ~log2(B)*(log2(B)+1)/2
+        # compare-exchange passes (171 for 262144 rows), each streaming
+        # the 27 key words — the 18-pass radix model round 3 used was a
+        # different algorithm's roofline, not this kernel's
+        lg = 18
+        passes = lg * (lg + 1) / 2
         hbm = passes * (4.0 * -(-L // 4) + 8)
         sol_bw = V5E_HBM_BPS / hbm
         sol_vpu = float("inf")
-        bound = "hbm-sort"
+        bound = "hbm-bitonic-sort"
     sol = min(sol_bw, sol_vpu)
     print(json.dumps({
         "metric": "speed_of_light_config%d" % config_n,
