@@ -1141,7 +1141,14 @@ def sol_accounting(config_n: int, measured_rps: float):
     * 1/2 — fused elementwise filters: HBM = packed inputs (L/4 + T*L/8
       + 2) + unpacked intermediates (~3 materialized [B, L] u8 arrays
       between fusion boundaries) + decisions out; VPU ~ L/1024 * ~40.
-    * 3 — one-hot histogram matmul: HBM 2L B/read; MXU 2*654*L FLOP/read.
+    * 3 — factored one-hot histogram (hi/lo split, kernels/stats_pallas):
+      per position the VPU builds an [8, tile] hi one-hot (~tile/64
+      vinstr per tile) and a [tile, 128] lo one-hot (~3*tile/8 vinstr:
+      lane-broadcast + compare + f32 cast); the combine is an MXU
+      product.  Construction ~0.39 vinstr per read-position, plus the
+      XLA prep (nuc classify + flat-id build + [B,L]->[L,B] transpose)
+      ~15 ops/1024 per base.  HBM ~22L B/read (flat ids materialized in
+      both layouts).
     * 5 — multi-key sort: ~log2(B) passes over 4*ceil(L/4)+8 key bytes.
 
     Prints one JSON line per call; numbers are analytic estimates (the
@@ -1175,14 +1182,13 @@ def sol_accounting(config_n: int, measured_rps: float):
         sol_vpu = V5E_VPU_VINSTR_PS / vinstr
         bound = "hbm"
     elif config_n == 3:
-        hbm = 2.0 * L + 8
+        hbm = 22.0 * L + 8
         sol_bw = V5E_HBM_BPS / hbm
-        # the histogram's real cost is the one-hot CONSTRUCTION on the
-        # VPU (a [tile, 654] compare per position), not the MXU product:
-        # L * 654/1024 vector instrs per read
-        vinstr = L * 654.0 / 1024.0
+        # factored hi/lo one-hot (see docstring): construction
+        # ~(1/64 + 3/8) vinstr per read-position + prep ~15/1024 per base
+        vinstr = L * (1.0 / 64.0 + 3.0 / 8.0 + 15.0 / 1024.0)
         sol_vpu = V5E_VPU_VINSTR_PS / vinstr
-        bound = "vpu-onehot"
+        bound = "vpu-factored-onehot"
     else:  # 5
         # XLA lowers jnp sort to a bitonic network: ~log2(B)*(log2(B)+1)/2
         # compare-exchange passes (171 for 262144 rows), each streaming

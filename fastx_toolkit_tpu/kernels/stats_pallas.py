@@ -2,17 +2,33 @@
 
 XLA lowers the [B*L]-index scatter-add of ops.stats.accumulate to a
 serialized scatter (~50x the cost of the rest of the fused pipeline).
-Here the tally is a one-hot MATMUL on the MXU: for an 8-position block,
-each lane's flat bin index (local_pos*654 + nuc*109 + qbin, 654 = 6 slots
-x 109 quality bins) is compared against a bin iota to form a one-hot
-matrix, and ones[1, TILE_B] @ onehot[TILE_B, 5232] accumulates all eight
-positions' histograms in one product.  Grid = (L/8, B/TILE_B) with the
-accumulator in VMEM scratch across the B tiles.
+Here the tally is a FACTORED one-hot matmul on the MXU.  Each base's
+flat bin id (nuc*109 + qbin, 654 = 6 slots x 109 quality bins) is split
+``id = hi*128 + lo``; per position the kernel builds a tiny
+``[8, TILE_B]`` hi one-hot (only rows 0-5 can fire) and a
+``[TILE_B, 128]`` lo one-hot, and their product
+``hi_onehot @ lo_onehot -> [8, 128]`` IS the position's histogram: each
+batch column contributes exactly one (hi, lo) outer-product entry.  The
+VPU constructs 8 sublane-rows + 128 lanes of compares per element
+instead of a 654-wide one-hot row (which costs its full padded width in
+vector issues), ~5x fewer vector ops; the combine rides the MXU.
+Grid = (L_pad/POS_BLK, B/TILE_B) with the [POS_BLK*8, 128] accumulator
+in VMEM scratch across the B tiles; POS_BLK is the whole (8-rounded)
+read length when it fits 128 lanes — the overwhelmingly common case —
+else 128-position blocks (lane-dim blocks must be 128-divisible).
 
-For FASTQ the per-(position, nuc, qval) histogram determines every other
-statistic exactly — get_reads_count is always 1 for FASTQ (fastx.c:479-481)
-so count = sum(hist), qsum = sum(v*hist), min/max = histogram support.
-The host derives them (ops.stats.derive_from_hist).
+The flat ids arrive in BOTH layouts — position-major ``[L_pad, B]`` for
+the hi side (batch on lanes) and batch-major ``[B, L_pad]`` for the lo
+side (batch on sublanes) — so neither one-hot needs an in-kernel
+transpose; the duplicate HBM read is ~8 B/base, far below the VPU cost
+it removes.  The invalid-lane sentinel ``F = 654`` lands at
+(hi 5, lo 14), one past the last valid id 653, so it falls off the
+``[:654]`` slice without any masking.
+
+For FASTQ the per-(position, nuc, qval) histogram determines every
+other statistic exactly — get_reads_count is always 1 for FASTQ
+(fastx.c:479-481) so count = sum(hist), qsum = sum(v*hist), min/max =
+histogram support.  The host derives them (ops.stats.derive_from_hist).
 """
 
 from __future__ import annotations
@@ -29,32 +45,37 @@ from ..core.records import BaseCode
 from ..ops.stats import MIN_Q, NBINS, NSLOTS
 
 F = NSLOTS * NBINS  # 654 bins per position
-POS_PER_STEP = 8
-FP = POS_PER_STEP * F  # 5232
+NHI = 8    # hi = id >> 7 in 0..5 (and 5 for the sentinel); rows 6-7 dead
+NLO = 128  # lo = id & 127
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(tile_b: int, n_btiles: int):
-    def kernel(flat_ref, out_ref, acc):
-        # flat_ref: [8, tile_b] int32 flat bin ids (FP = invalid/padded)
-        # out_ref:  [8, F] int32 block of the [L_pad, F] output
-        # acc:      [8, F] f32 scratch accumulated over B tiles
+def _make_kernel(pos_blk: int, tile_b: int, n_btiles: int):
+    def kernel(hi_ref, lo_ref, out_ref, acc):
+        # hi_ref: [pos_blk, tile_b] int32 flat ids, position-major
+        #         (batch on lanes)
+        # lo_ref: [tile_b, pos_blk] int32 flat ids, batch-major
+        #         (batch on sublanes)
+        # out_ref: [pos_blk*8, 128] int32 — per position (8 hi rows, 128 lo)
+        # acc:     same shape, f32, accumulated across the B tiles
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _init():
-            acc[:] = jnp.zeros((POS_PER_STEP, F), jnp.float32)
+            acc[:] = jnp.zeros((pos_blk * NHI, NLO), jnp.float32)
 
-        bins = jax.lax.broadcasted_iota(jnp.int32, (tile_b, F), 1)
-        flat = flat_ref[:]  # [8, tile_b]
-        ones = jnp.ones((1, tile_b), jnp.float32)
-        for p in range(POS_PER_STEP):
-            onehot = (bins == flat[p, :][:, None]).astype(jnp.float32)
-            part = jnp.dot(ones, onehot, preferred_element_type=jnp.float32)
-            acc[p : p + 1, :] = acc[p : p + 1, :] + part
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (NHI, tile_b), 0)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_b, NLO), 1)
+        for p in range(pos_blk):
+            hi = hi_ref[p : p + 1, :] >> 7  # [1, tile_b]
+            oh = (hi_iota == hi).astype(jnp.float32)  # [NHI, tile_b]
+            lo = lo_ref[:, p : p + 1] & 127  # [tile_b, 1]
+            ol = (lo_iota == lo).astype(jnp.float32)  # [tile_b, NLO]
+            part = jnp.dot(oh, ol, preferred_element_type=jnp.float32)
+            acc[p * NHI : (p + 1) * NHI, :] += part
 
         @pl.when(t == n_btiles - 1)
         def _finish():
@@ -75,7 +96,12 @@ def stats_hist_pallas(bases, quals, lengths, tile_b: int = 512,
     """
     B, L = bases.shape
     assert B % tile_b == 0, (B, tile_b)
-    L_pad = _round_up(max(L, 1), POS_PER_STEP)
+    # position-block: the whole read when it fits the 128-lane block
+    # constraint, else 128-position blocks (tail positions padded with
+    # the sentinel — they tally into the sliced-off bin 654)
+    L_pad = _round_up(max(L, 1), 8)
+    pos_blk = L_pad if L_pad <= 128 else 128
+    L_pad = _round_up(L_pad, pos_blk)
 
     # slot via compares, not a 256-LUT gather (XLA gathers serialize on
     # TPU and dominated this kernel's runtime)
@@ -86,26 +112,28 @@ def stats_hist_pallas(bases, quals, lengths, tile_b: int = 512,
         nuc = jnp.where(hit, i + 1, nuc)
     qbin = jnp.clip(quals.astype(jnp.int32) - MIN_Q, 0, NBINS - 1)
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
-    flat = jnp.where(valid, nuc * NBINS + qbin, F)  # F = no bin matches
-    flatT = flat.T  # [L, B]
+    flat = jnp.where(valid, nuc * NBINS + qbin, F)  # F = sentinel, sliced off
     if L_pad != L:
-        flatT = jnp.concatenate(
-            [flatT, jnp.full((L_pad - L, B), F, jnp.int32)], axis=0
+        flat = jnp.concatenate(
+            [flat, jnp.full((B, L_pad - L), F, jnp.int32)], axis=1
         )
+    flatT = flat.T  # [L_pad, B]
 
     n_btiles = B // tile_b
-    kernel = _make_kernel(tile_b, n_btiles)
+    kernel = _make_kernel(pos_blk, tile_b, n_btiles)
     out = pl.pallas_call(
         kernel,
-        grid=(L_pad // POS_PER_STEP, n_btiles),
+        grid=(L_pad // pos_blk, n_btiles),
         in_specs=[
-            pl.BlockSpec((POS_PER_STEP, tile_b), lambda i, t: (i, t),
+            pl.BlockSpec((pos_blk, tile_b), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, pos_blk), lambda i, t: (t, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((POS_PER_STEP, F), lambda i, t: (i, 0),
+        out_specs=pl.BlockSpec((pos_blk * NHI, NLO), lambda i, t: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L_pad, F), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((POS_PER_STEP, F), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((L_pad * NHI, NLO), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((pos_blk * NHI, NLO), jnp.float32)],
         interpret=interpret,
-    )(flatT)
-    return out[:L].reshape(L, NSLOTS, NBINS)
+    )(flatT, flat)
+    return out.reshape(L_pad, NHI * NLO)[:L, :F].reshape(L, NSLOTS, NBINS)
