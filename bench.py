@@ -904,7 +904,7 @@ def run_config_collapse(device_resident: bool = False):
             return
 
     if device_resident:
-        from fastx_toolkit_tpu.ops.collapse import collapse_jit
+        from fastx_toolkit_tpu.ops.collapse import collapse_hashed_jit
 
         rng = np.random.default_rng(0)
         bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(CHUNK, READ_LEN))
@@ -912,12 +912,13 @@ def run_config_collapse(device_resident: bool = False):
         xs = [jax.device_put(a) for a in
               (words, np.ones(CHUNK, np.int32), np.arange(CHUNK, dtype=np.int32))]
         _ = [np.asarray(x[:1]) for x in xs]
-        out = collapse_jit(*xs)
+        out = collapse_hashed_jit(*xs)
         _ = np.asarray(out[1][:1])  # compile + sync
-        best = timed_device_chain(collapse_jit, xs,
+        assert not bool(np.asarray(out[5])), "hash collision on bench lane"
+        best = timed_device_chain(collapse_hashed_jit, xs,
                                   lambda o: np.asarray(o[1][:1]))
         emit(5, CHUNK / best, suffix="_device_resident")
-        sol_accounting(5, CHUNK / best)
+        sol_accounting(5, CHUNK / best, n_key_words=words.shape[1])
         return
 
     n_reads = CONFIG_READS.get(5, N_READS)
@@ -1123,7 +1124,8 @@ def timed_device_chain(fn, xs, sync, *, chain: int | None = None,
     return best
 
 
-def sol_accounting(config_n: int, measured_rps: float):
+def sol_accounting(config_n: int, measured_rps: float,
+                   n_key_words: int = 8):
     """Analytic roofline for the device-resident kernel of a config:
     bytes/read moved through HBM and (for the DP) VPU vector instructions
     per read, against the v5e ceilings.  The dominant kernel per config:
@@ -1149,7 +1151,9 @@ def sol_accounting(config_n: int, measured_rps: float):
       XLA prep (nuc classify + flat-id build + [B,L]->[L,B] transpose)
       ~15 ops/1024 per base.  HBM ~22L B/read (flat ids materialized in
       both layouts).
-    * 5 — multi-key sort: ~log2(B) passes over 4*ceil(L/4)+8 key bytes.
+    * 5 — hash-prefix sort: ~log2(B)^2/2 bitonic passes over 16 B/row
+      (two 32-bit hashes + first_idx + iota payload) + one hash pass,
+      one gather and one adjacent-compare over the W packed key words.
 
     Prints one JSON line per call; numbers are analytic estimates (the
     assumptions above), meant to place the measured figure on the
@@ -1190,16 +1194,19 @@ def sol_accounting(config_n: int, measured_rps: float):
         sol_vpu = V5E_VPU_VINSTR_PS / vinstr
         bound = "vpu-factored-onehot"
     else:  # 5
-        # XLA lowers jnp sort to a bitonic network: ~log2(B)*(log2(B)+1)/2
-        # compare-exchange passes (171 for 262144 rows), each streaming
-        # the 27 key words — the 18-pass radix model round 3 used was a
-        # different algorithm's roofline, not this kernel's
+        # hash-prefix sort (ops/collapse.collapse_hashed): XLA lowers the
+        # lexsort to a bitonic network, ~log2(B)*(log2(B)+1)/2 compare-
+        # exchange passes (171 for 262144 rows), each streaming only the
+        # two hash words + first_idx + the iota payload (16 B/row) — the
+        # full W packed key words ride outside the network: one pass to
+        # hash them, one gather + one adjacent-compare after the sort
         lg = 18
         passes = lg * (lg + 1) / 2
-        hbm = passes * (4.0 * -(-L // 4) + 8)
+        key_bytes = 4.0 * n_key_words
+        hbm = passes * 16.0 + 4.0 * key_bytes
         sol_bw = V5E_HBM_BPS / hbm
         sol_vpu = float("inf")
-        bound = "hbm-bitonic-sort"
+        bound = "hbm-bitonic-hash-sort"
     sol = min(sol_bw, sol_vpu)
     print(json.dumps({
         "metric": "speed_of_light_config%d" % config_n,

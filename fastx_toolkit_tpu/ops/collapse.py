@@ -69,6 +69,70 @@ def collapse(words, counts, first_idx):
 collapse_jit = jax.jit(collapse)
 
 
+def collapse_hashed(words, counts, first_idx, weak_hash: bool = False):
+    """collapse() with a hash-prefix sort: rows are ordered by two
+    independent 32-bit rolling hashes of the key words (+ first_idx as
+    the deterministic tie-break) instead of the full W-word
+    lexicographic key, so the bitonic sort network streams 3 key words
+    per compare-exchange pass instead of W+1 (~2-3x less HBM traffic on
+    100 bp reads; the dedup only needs equal rows CONTIGUOUS, not any
+    particular order, and the CLI re-orders output by count/first-
+    appearance afterwards - final_order).  Segment boundaries come from
+    exact adjacent-row comparison of the gathered words, so the only
+    failure mode is a full 64-bit hash collision between DIFFERENT
+    sequences, which can interleave two groups; that case is DETECTED
+    exactly (adjacent rows with equal hashes but different words) and
+    returned as the ``collision`` flag — callers fall back to the exact
+    collapse() (collapse_batch does; probability ~B^2/2^65, and the
+    fallback keeps correctness unconditional).
+
+    ``weak_hash`` (test hook) degrades both hashes to a constant so the
+    collision path is exercisable under pytest.
+
+    Returns (perm, head, seg_id, seg_counts, seg_first, collision).
+    """
+    words = jnp.asarray(words)
+    counts = jnp.asarray(counts)
+    first_idx = jnp.asarray(first_idx)
+    B, W = words.shape
+    wu = words.astype(jnp.uint32)
+    # two independent multiplicative rolling hashes with xorshift mixing
+    # (nonlinear, so structured base patterns do not cancel mod 2^32)
+    h1 = jnp.full(B, 0x811C9DC5, jnp.uint32)
+    h2 = jnp.full(B, 0x9E3779B9, jnp.uint32)
+    for w in range(W):
+        col = wu[:, w]
+        h1 = h1 * jnp.uint32(0x01000193) + col
+        h1 = h1 ^ (h1 >> 15)
+        h2 = h2 * jnp.uint32(0x85EBCA6B) + (col ^ jnp.uint32((w * 0x9E3779B9) & 0xFFFFFFFF))
+        h2 = h2 ^ (h2 >> 13)
+    if weak_hash:
+        h1 = jnp.zeros(B, jnp.uint32)
+        h2 = jnp.zeros(B, jnp.uint32)
+    # one lax.sort carries the hashes, tie-break, counts and the row
+    # permutation through the network together — no post-sort gathers
+    # (XLA row-gathers serialize on TPU; the only one left is the
+    # unavoidable words[perm] for the exact boundary compare)
+    sh1, sh2, sfirst, scnt, perm = jax.lax.sort(
+        (h1, h2, first_idx, counts, jnp.arange(B, dtype=jnp.int32)),
+        num_keys=3,
+    )
+    sw = words[perm]
+    neq = (sw[1:] != sw[:-1]).any(axis=1)
+    head = jnp.concatenate([jnp.ones((1,), bool), neq])
+    samehash = (sh1[1:] == sh1[:-1]) & (sh2[1:] == sh2[:-1])
+    collision = jnp.any(samehash & neq)
+    seg_id = jnp.cumsum(head) - 1
+    seg_counts = jnp.zeros(B, counts.dtype).at[seg_id].add(scnt)
+    seg_first = jnp.full(B, jnp.iinfo(jnp.int32).max, jnp.int32).at[seg_id].min(
+        sfirst
+    )
+    return perm, head, seg_id, seg_counts, seg_first, collision
+
+
+collapse_hashed_jit = jax.jit(collapse_hashed, static_argnames=("weak_hash",))
+
+
 def collapse_batch(bases: np.ndarray, counts: np.ndarray):
     """Host wrapper: returns (uniq_row_indices, uniq_counts, uniq_first)
     where uniq_row_indices point into the ORIGINAL batch (first-appearance
@@ -78,8 +142,11 @@ def collapse_batch(bases: np.ndarray, counts: np.ndarray):
         return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
     words = pack_words(np.asarray(bases, dtype=np.uint8))
     first_idx = np.arange(B, dtype=np.int32)
+    res = collapse_hashed_jit(words, counts, first_idx)
+    if bool(np.asarray(res[5])):  # 64-bit hash collision: exact re-run
+        res = collapse_jit(words, counts, first_idx)
     perm, head, seg_id, seg_counts, seg_first = (
-        np.asarray(x) for x in collapse_jit(words, counts, first_idx)
+        np.asarray(x) for x in res[:5]
     )
     nseg = int(head.sum())
     uniq_first = seg_first[:nseg]

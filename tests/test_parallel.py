@@ -150,3 +150,57 @@ def test_sharded_barcode_counts():
     tally = np.asarray(tally)
     assert tally[0] >= 20 and tally[1] >= 10
     assert tally.sum() == B
+
+
+def test_collapse_hashed_matches_exact():
+    """Hash-prefix sort dedup == exact lexsort dedup on duplicate-heavy
+    and all-unique lanes (group-set equality: counts + first indices)."""
+    from fastx_toolkit_tpu.ops import collapse as C
+
+    rng = np.random.default_rng(11)
+    for B, npool in ((256, 17), (128, 128)):
+        L = 20
+        pool = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(npool, L))
+        bases = pool[rng.integers(0, npool, B)]
+        counts = rng.integers(1, 5, B).astype(np.int32)
+        words = C.pack_words(bases)
+        first = np.arange(B, dtype=np.int32)
+
+        pe, he, se, ce, fe = (np.asarray(x) for x in C.collapse(words, counts, first))
+        ph, hh, sh, ch, fh, col = (
+            np.asarray(x) for x in C.collapse_hashed(words, counts, first)
+        )
+        assert not bool(col)
+        ne, nh = int(he.sum()), int(hh.sum())
+        assert ne == nh
+        want = sorted(zip(ce[:ne].tolist(), fe[:ne].tolist()))
+        got = sorted(zip(ch[:nh].tolist(), fh[:nh].tolist()))
+        assert want == got
+
+
+def test_collapse_hashed_collision_flag_and_fallback():
+    """With the weak-hash test hook every distinct adjacent pair is a
+    'collision'; the flag must fire, and collapse_batch's fallback path
+    must still produce the exact groups."""
+    from fastx_toolkit_tpu.ops import collapse as C
+
+    rng = np.random.default_rng(12)
+    B, L = 64, 12
+    pool = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(5, L))
+    bases = pool[rng.integers(0, 5, B)]
+    counts = np.ones(B, np.int32)
+    words = C.pack_words(bases)
+    first = np.arange(B, dtype=np.int32)
+    *_, col = C.collapse_hashed(words, counts, first, weak_hash=True)
+    assert bool(np.asarray(col))
+    # sanity: the real hash does not flag this lane
+    *_, col2 = C.collapse_hashed(words, counts, first)
+    assert not bool(np.asarray(col2))
+
+    # collapse_batch must be exact regardless (fallback covers collisions)
+    uidx, ucnt, ufirst = C.collapse_batch(bases, counts)
+    import collections
+
+    truth = collections.Counter(map(bytes, bases))
+    got = {bytes(bases[i]): int(c) for i, c in zip(uidx, ucnt)}
+    assert got == dict(truth)
