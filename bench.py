@@ -540,26 +540,15 @@ def _maybe_dump(out: bytes):
 def _hist_from_b2_fn():
     """jit: (b2, quals, lengths) -> per-(pos, nuc, qval) histogram; bases
     travel 2-bit packed (pure-ACGT chunks), quality values raw (the
-    109-bin histogram needs them whole)."""
+    109-bin histogram needs them whole).  The kernel consumes the packed
+    codes directly (stats_hist_pallas_b2) — no ASCII round-trip."""
     import jax
-    import jax.numpy as jnp
 
-    from fastx_toolkit_tpu.kernels.stats_pallas import stats_hist_pallas
-
-    acgt = np.frombuffer(b"ACGT", np.uint8)
+    from fastx_toolkit_tpu.kernels.stats_pallas import stats_hist_pallas_b2
 
     @jax.jit
     def f(b2, quals, lengths):
-        B = b2.shape[0]
-        codes = jnp.stack(
-            [(b2 >> 6) & 3, (b2 >> 4) & 3, (b2 >> 2) & 3, b2 & 3], axis=2
-        ).reshape(B, -1).astype(jnp.int32)[:, : quals.shape[1]]
-        bases = jnp.where(
-            codes < 2,
-            jnp.where(codes == 0, ord("A"), ord("C")),
-            jnp.where(codes == 2, ord("G"), ord("T")),
-        ).astype(jnp.uint8)
-        return stats_hist_pallas(bases, quals, lengths, tile_b=512)
+        return stats_hist_pallas_b2(b2, quals, lengths, tile_b=512)
 
     return f
 

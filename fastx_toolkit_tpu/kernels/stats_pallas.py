@@ -84,41 +84,11 @@ def _make_kernel(pos_blk: int, tile_b: int, n_btiles: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
-def stats_hist_pallas(bases, quals, lengths, tile_b: int = 512,
-                      interpret: bool = False):
-    """Per-(position, nuc-slot, quality) histogram with weight 1.
-
-    bases uint8 [B, L], quals int8 [B, L], lengths int32 [B] ->
-    hist int32 [L, 6, 109] where slot s counts bases whose
-    STATS_INDEX == s (slot 0 = unknown bytes, see ops.stats).
-    B must be a multiple of tile_b (callers pad with length-0 rows).
-    """
-    B, L = bases.shape
-    assert B % tile_b == 0, (B, tile_b)
-    # position-block: the whole read when it fits the 128-lane block
-    # constraint, else 128-position blocks (tail positions padded with
-    # the sentinel — they tally into the sliced-off bin 654)
-    L_pad = _round_up(max(L, 1), 8)
-    pos_blk = L_pad if L_pad <= 128 else 128
-    L_pad = _round_up(L_pad, pos_blk)
-
-    # slot via compares, not a 256-LUT gather (XLA gathers serialize on
-    # TPU and dominated this kernel's runtime)
-    b = bases
-    nuc = jnp.zeros(b.shape, jnp.int32)
-    for i, pair in enumerate((b"Aa", b"Cc", b"Gg", b"Tt", b"Nn")):
-        hit = (b == pair[0]) | (b == pair[1])
-        nuc = jnp.where(hit, i + 1, nuc)
-    qbin = jnp.clip(quals.astype(jnp.int32) - MIN_Q, 0, NBINS - 1)
-    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
-    flat = jnp.where(valid, nuc * NBINS + qbin, F)  # F = sentinel, sliced off
-    if L_pad != L:
-        flat = jnp.concatenate(
-            [flat, jnp.full((B, L_pad - L), F, jnp.int32)], axis=1
-        )
+def _hist_from_flat(flat, L: int, L_pad: int, pos_blk: int, tile_b: int,
+                    interpret: bool):
+    """Shared tail: flat ids [B, L_pad] (sentinel-padded) -> histogram."""
+    B = flat.shape[0]
     flatT = flat.T  # [L_pad, B]
-
     n_btiles = B // tile_b
     kernel = _make_kernel(pos_blk, tile_b, n_btiles)
     out = pl.pallas_call(
@@ -137,3 +107,71 @@ def stats_hist_pallas(bases, quals, lengths, tile_b: int = 512,
         interpret=interpret,
     )(flatT, flat)
     return out.reshape(L_pad, NHI * NLO)[:L, :F].reshape(L, NSLOTS, NBINS)
+
+
+def _pos_geometry(L: int):
+    """(L_pad, pos_blk): the whole read as one position block when it
+    fits the 128-lane block constraint, else 128-position blocks (tail
+    positions padded with the sentinel — they tally into the sliced-off
+    bin 654)."""
+    L_pad = _round_up(max(L, 1), 8)
+    pos_blk = L_pad if L_pad <= 128 else 128
+    return _round_up(L_pad, pos_blk), pos_blk
+
+
+def _pad_flat(flat, L: int, L_pad: int):
+    B = flat.shape[0]
+    if L_pad != L:
+        flat = jnp.concatenate(
+            [flat, jnp.full((B, L_pad - L), F, jnp.int32)], axis=1
+        )
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def stats_hist_pallas(bases, quals, lengths, tile_b: int = 512,
+                      interpret: bool = False):
+    """Per-(position, nuc-slot, quality) histogram with weight 1.
+
+    bases uint8 [B, L], quals int8 [B, L], lengths int32 [B] ->
+    hist int32 [L, 6, 109] where slot s counts bases whose
+    STATS_INDEX == s (slot 0 = unknown bytes, see ops.stats).
+    B must be a multiple of tile_b (callers pad with length-0 rows).
+    """
+    B, L = bases.shape
+    assert B % tile_b == 0, (B, tile_b)
+    L_pad, pos_blk = _pos_geometry(L)
+
+    # slot via compares, not a 256-LUT gather (XLA gathers serialize on
+    # TPU and dominated this kernel's runtime)
+    b = bases
+    nuc = jnp.zeros(b.shape, jnp.int32)
+    for i, pair in enumerate((b"Aa", b"Cc", b"Gg", b"Tt", b"Nn")):
+        hit = (b == pair[0]) | (b == pair[1])
+        nuc = jnp.where(hit, i + 1, nuc)
+    qbin = jnp.clip(quals.astype(jnp.int32) - MIN_Q, 0, NBINS - 1)
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+    flat = jnp.where(valid, nuc * NBINS + qbin, F)  # F = sentinel, sliced off
+    flat = _pad_flat(flat, L, L_pad)
+    return _hist_from_flat(flat, L, L_pad, pos_blk, tile_b, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def stats_hist_pallas_b2(b2, quals, lengths, tile_b: int = 512,
+                         interpret: bool = False):
+    """stats_hist_pallas on the 2-bit packed upload directly (pure-ACGT
+    batches, pack_batch2 byte layout: 4 codes/byte MSB-first).  The flat
+    bin id is (code+1)*109 + qbin straight from the packed bytes — no
+    ASCII round-trip and no 10-compare classify, which together were
+    ~15% of the device step's XLA prep."""
+    B, L = quals.shape
+    assert B % tile_b == 0, (B, tile_b)
+    L_pad, pos_blk = _pos_geometry(L)
+    codes = jnp.stack(
+        [(b2 >> 6) & 3, (b2 >> 4) & 3, (b2 >> 2) & 3, b2 & 3], axis=2
+    ).reshape(B, -1)[:, :L].astype(jnp.int32)
+    qbin = jnp.clip(quals.astype(jnp.int32) - MIN_Q, 0, NBINS - 1)
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+    flat = jnp.where(valid, (codes + 1) * NBINS + qbin, F)
+    flat = _pad_flat(flat, L, L_pad)
+    return _hist_from_flat(flat, L, L_pad, pos_blk, tile_b, interpret)

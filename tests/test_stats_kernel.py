@@ -36,3 +36,30 @@ def test_counts_only_matches_accumulate():
     want = S.accumulate(bases, quals, lengths, counts, is_fastq=True)[0]
     got = S.counts_only(jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(counts))
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_hist_kernel_b2_matches_ascii():
+    """The packed-codes entry (stats_hist_pallas_b2) must tally exactly
+    like the ASCII entry on pure-ACGT batches."""
+    import numpy as np
+
+    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig, pack_batch2
+    from fastx_toolkit_tpu.kernels.stats_pallas import (
+        stats_hist_pallas,
+        stats_hist_pallas_b2,
+    )
+
+    rng = np.random.default_rng(13)
+    B, L = 256, 21
+    bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    quals = rng.integers(-5, 41, size=(B, L)).astype(np.int8)
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    cfg0 = PipelineConfig(with_filter=False, with_qtrim=False, with_mask=False)
+    b2, _ = pack_batch2(bases, quals, cfg0, n_plane=False)
+    want = np.asarray(
+        stats_hist_pallas(bases, quals, lengths, tile_b=128, interpret=True)
+    )
+    got = np.asarray(
+        stats_hist_pallas_b2(b2, quals, lengths, tile_b=128, interpret=True)
+    )
+    np.testing.assert_array_equal(want, got)
