@@ -63,3 +63,21 @@ def test_hist_kernel_b2_matches_ascii():
         stats_hist_pallas_b2(b2, quals, lengths, tile_b=128, interpret=True)
     )
     np.testing.assert_array_equal(want, got)
+
+
+def test_hist_kernel_long_reads_multi_posblock():
+    """L > 128 exercises the 128-position block path (grid dim over L,
+    sentinel-padded tail positions tallying into the sliced-off bin)."""
+    rng = np.random.default_rng(14)
+    B, L = 128, 200
+    bases = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(B, L))
+    quals = rng.integers(-10, 60, size=(B, L)).astype(np.int8)
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    counts = np.ones(B, np.int32)
+    want = S.accumulate(bases, quals, lengths, counts, is_fastq=True)
+    pernuc = np.asarray(
+        stats_hist_pallas(bases, quals, lengths, tile_b=64, interpret=True)
+    )
+    got = S.derive_from_hist(pernuc)
+    for name, w, g in zip(("count", "hist", "qsum", "qmin", "qmax"), want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g), err_msg=name)
