@@ -1156,12 +1156,15 @@ def sol_accounting(config_n: int, measured_rps: float,
         sol_vpu = V5E_VPU_VINSTR_PS / vinstr
         hbm = 0.5 * L + 64
         sol_bw = V5E_HBM_BPS / hbm
-        # the binding term in practice: the DP's per-column state (3
-        # column + 4 running-best [H_pad, tile] planes, read+written
-        # every column) streams through VMEM at the measured ~1.76 TB/s
-        # (bench.py --vpuprobe); per read that is 14 plane-passes x
-        # H_pad rows x 4 B x L columns
-        vmem_bytes = 14.0 * H_pad * 4.0 * L
+        # the binding term in practice: the DP's per-column state streams
+        # through VMEM at the measured ~1.76 TB/s (bench.py --vpuprobe).
+        # The round-5 P12 kernel carries 2 column + 2 running-best
+        # [H_pad, tile] planes (read+written every column) = 8 plane-
+        # passes x H_pad rows x 4 B x L columns; the measured gap to this
+        # bound (~65-72%) is the non-state temporaries (shifts, compares,
+        # scan intermediates), which the round-4 14-pass model had been
+        # absorbing into its state count.
+        vmem_bytes = 8.0 * H_pad * 4.0 * L
         sol_vmem = V5E_VMEM_BPS / vmem_bytes
         if sol_vmem < sol_vpu:
             sol_vpu = sol_vmem
@@ -1184,15 +1187,17 @@ def sol_accounting(config_n: int, measured_rps: float,
         bound = "vpu-factored-onehot"
     else:  # 5
         # hash-prefix sort (ops/collapse.collapse_hashed): XLA lowers the
-        # lexsort to a bitonic network, ~log2(B)*(log2(B)+1)/2 compare-
-        # exchange passes (171 for 262144 rows), each streaming only the
-        # two hash words + first_idx + the iota payload (16 B/row) — the
-        # full W packed key words ride outside the network: one pass to
-        # hash them, one gather + one adjacent-compare after the sort
-        lg = 18
+        # sort to a bitonic network, ~log2(B)*(log2(B)+1)/2 compare-
+        # exchange passes (171 for 262144 rows), each streaming the two
+        # hash keys + first_idx + the six payload words (counts, perm,
+        # w0, w1, h3, h4) = 36 B/row; the W packed key words ride outside
+        # the network: one pass to hash them (the round-5 scheme carries
+        # the boundary material through the sort, so there is NO
+        # post-sort gather), plus the boundary compares/scans (~40 B/row)
+        lg = int(np.ceil(np.log2(CHUNK)))
         passes = lg * (lg + 1) / 2
         key_bytes = 4.0 * n_key_words
-        hbm = passes * 16.0 + 4.0 * key_bytes
+        hbm = passes * 36.0 + key_bytes + 40.0
         sol_bw = V5E_HBM_BPS / hbm
         sol_vpu = float("inf")
         bound = "hbm-bitonic-hash-sort"

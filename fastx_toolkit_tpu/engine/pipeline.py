@@ -546,7 +546,8 @@ def packed_fast_body(b2, planes, lengths, cfg: PipelineConfig,
     i_cut = None
     if cfg.with_clip or need_counts:
         L32 = -(-Le // 32) * 32
-        tile = packed_tile_for(len(cfg.adapter)) if cfg.with_clip else 2048
+        tile = (packed_tile_for(len(cfg.adapter), tie_flag)
+                if cfg.with_clip else 2048)
         Bp = -(-B // tile) * tile
         b2w = _pad_rows(_words_T(b2, L32 // 4), Bp)
         nmw = None if nmb is None else _pad_rows(_words_T(nmb, L32 // 8), Bp)

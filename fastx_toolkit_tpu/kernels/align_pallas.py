@@ -47,6 +47,7 @@ VPU roofline):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -100,15 +101,23 @@ def tile_for(H: int) -> int | None:
     return None
 
 
-def packed_tile_for(H: int) -> int | None:
+def packed_tile_for(H: int, tie_flag: bool = False) -> int | None:
     """Batch-tile for the packed kernel, or None -> use the unpacked
     kernel.  Mosaic keeps ~28-40 live [H_pad, tile] stack planes for the
     unrolled body (more with the tie-flag compares), so H_pad*tile is
     budgeted to ~72K elements (measured: 104x1024 with flags = 20.2 MB,
-    over the 16 MB limit; 104x1024 without = fits)."""
+    over the 16 MB limit; 104x1024 without = fits).
+
+    The small-H (P12-kernel) tile is measured per variant on v5e: the
+    flag-off body runs 11% faster at tile 1024 (16.45M vs 14.78M r/s —
+    fewer live planes spill less), while the flag-on body's extra
+    tie-compare temporaries prefer 2048 (11.3M vs 10.8M)."""
+    ov = os.environ.get("FASTX_TPU_PACKED_TILE")
+    if ov:
+        return int(ov)
     H_pad = _h_pad(H)
     if H_pad <= 32:
-        return 2048
+        return 2048 if tie_flag else 1024
     if H_pad <= 72:
         return 1024
     return None
@@ -353,6 +362,260 @@ def _make_kernel(H: int, H_pad: int, L: int, tile_b: int,
                 )
                 t5 = multi & (jnp.sum(nmrow.astype(jnp.int32), axis=0) > 0)
                 tf_ref[:] = ((bp2 >> 31) & 1) | t5.astype(jnp.int32)
+
+    return kernel
+
+
+def packed12_ok(L: int, H: int) -> bool:
+    """Bounds for the single-payload-plane kernel (_make_kernel_packed12):
+    matches/mismatches/neutral each fit 5 bits (any path makes at most
+    H <= 31 diagonal steps), query_start fits 9 bits (L <= 511) and
+    target_start 5.  Covers the reference's default adapters (<= 23
+    bases) and Illumina-era read lengths; longer inputs take the
+    two-plane kernel."""
+    return H <= 31 and L <= 511
+
+
+# P12 lo-half field masks (see _make_kernel_packed12)
+_P12_QS = 0x1FF          # bits 0-8: query_start
+_P12_TS_SHIFT = 9        # bits 9-13: target_start
+_P12_FLAG = 1 << 14      # tie-fragility bit
+_P12_BU = 1 << 15        # path started with the row-0 border-up gap
+_P12_M_SHIFT = 16        # bits 16-20: matches
+_P12_MM_SHIFT = 21       # bits 21-25: mismatches
+_P12_NM_SHIFT = 26       # bits 26-30: neutral
+# a tie is float-fragile iff either tying candidate carries neutrals or
+# an inherited flag: one AND + one compare tests both at once
+_P12_TIEMASK = (0x1F << _P12_NM_SHIFT) | _P12_FLAG
+
+
+def _make_kernel_packed12(H: int, H_pad: int, tile_b: int,
+                          has_nm: bool, tie_flag: bool):
+    """Half-state variant of _make_kernel_packed (VERDICT r4 item #1).
+
+    The two packed payload planes (P1: four 8-bit counters, P2:
+    query_start + a 15-bit gap counter) merge into ONE int32 plane P12 —
+    possible because
+
+    * for H <= 31 the three path counters fit 5-bit fields (any path
+      advances the target row at most H times, so each counter <= H),
+    * gaps never need to ride the DP at all: along the winning path
+      ``gaps = (te-ts+1) + (qe-qs+1) - 2*(m+mm+nm) - border_up`` (target
+      rows consumed = diagonals + up-gaps, query columns consumed =
+      diagonals + left-gaps + border_up), so the finish step derives it
+      from fields already carried.  ``border_up`` is one lo-half bit set
+      by the row-0 border-gap candidate.
+
+    Payloads are select-only through the whole DP, and both halves share
+    every select mask, so merging them halves the payload work AND the
+    streamed column/best state drops from 6 planes to 4 ([H_pad, tile]
+    int32 read+written per column) — the kernel's measured VMEM-state
+    bound scales accordingly (BASELINE.md "The DP's true hardware
+    bound").  The int16-plane alternative was rejected by measurement:
+    int16 sublane tiling pads H_pad to 32 rows and Mosaic's 16-bit
+    compare/select lowering emits the same op count, eating the
+    bandwidth win (see BASELINE.md round 5)."""
+    window = scan_window(H, H_pad)
+    nscan = max(1, int(np.ceil(np.log2(window))))
+    FLOOR = -(20 * H + 11)
+    INIT_KEY = (FLOOR << 15) | 32767
+
+    def kernel(*refs):
+        if has_nm:
+            (maxlen_ref, bases_ref, nmw_ref, lengths_ref, t_ref, *rest) = refs
+        else:
+            (maxlen_ref, bases_ref, lengths_ref, t_ref, *rest) = refs
+            nmw_ref = None
+        if tie_flag:
+            (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
+             tf_ref, col_scr, best_scr) = rest
+        else:
+            (m_ref, mm_ref, g_ref, nm_ref, qs_ref, qe_ref, ts_ref, te_ref,
+             col_scr, best_scr) = rest
+        xg = pl.program_id(1)
+        tile_maxlen = maxlen_ref[pl.program_id(0)]
+        tc = t_ref[:]  # [H_pad, 1] codes: A0 C1 G2 T3, N=4, pad=5
+        t_is_n = tc == 4
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H_pad, 1), 0)
+        ysb = jnp.broadcast_to(ys, (H_pad, tile_b))
+        row0 = ys == 0
+        target_border = jnp.where(ys <= 3, 0, GAP * (ys - 3)).astype(jnp.int32)
+        gap_y = GAP * ys
+        key_gap2 = 2 * gap_y
+        lengths = lengths_ref[:]  # [tile_b]
+
+        @pl.when(xg == 0)
+        def _init():
+            col_scr[0] = jnp.broadcast_to(
+                jnp.maximum(target_border, FLOOR), (H_pad, tile_b)
+            )
+            # shift_down must read ts=y for a fresh start at row y, so the
+            # init plane holds (y+1) in the ts field (row H_pad-1 is never
+            # read; for H_pad=32 its value would touch the flag bit)
+            col_scr[1] = jnp.broadcast_to((ys + 1) << _P12_TS_SHIFT,
+                                          (H_pad, tile_b))
+            best_scr[0] = jnp.full((H_pad, tile_b), INIT_KEY, jnp.int32)
+            best_scr[1] = jnp.zeros((H_pad, tile_b), jnp.int32)
+
+        @pl.when(xg * 8 < tile_maxlen)
+        def _cols():
+              psc, pP12 = col_scr[0], col_scr[1]
+              bkey, bP12 = best_scr[0], best_scr[1]
+              for jj in range(8):
+                x = xg * 8 + jj
+                j4 = (x // 4) % 4
+                wb = bases_ref[x // 16, :].astype(jnp.int32)
+                shift = 8 * j4 + (6 - 2 * (x % 4))
+                code = ((wb >> shift) & 3)[None, :]
+                eq = code == tc
+                if has_nm:
+                    wn = nmw_ref[x // 32, :].astype(jnp.int32)
+                    nshift = 8 * ((x // 8) % 4) + (7 - (x % 8))
+                    q_is_n = (((wn >> nshift) & 1) == 1)[None, :]
+                    one_n = q_is_n | t_is_n
+                    delta = jnp.where(
+                        q_is_n & t_is_n, 0,
+                        jnp.where(one_n, NEUTRAL,
+                                  jnp.where(eq, MATCH, MISMATCH)),
+                    )
+                    incP12 = jnp.where(
+                        one_n, 1 << _P12_NM_SHIFT,
+                        jnp.where(eq, 1 << _P12_M_SHIFT, 1 << _P12_MM_SHIFT),
+                    ).astype(jnp.int32)
+                else:
+                    delta = jnp.where(
+                        t_is_n, NEUTRAL, jnp.where(eq, MATCH, MISMATCH)
+                    )
+                    incP12 = jnp.where(
+                        t_is_n, 1 << _P12_NM_SHIFT,
+                        jnp.where(eq, 1 << _P12_M_SHIFT, 1 << _P12_MM_SHIFT),
+                    ).astype(jnp.int32)
+
+                def shift_down(a):
+                    return jnp.concatenate(
+                        [jnp.zeros((1, tile_b), a.dtype), a[:-1]], axis=0
+                    )
+
+                # upper-left candidate; row 0's diagonal source is the
+                # query border (fresh stats qs=x, ts=0); the counter
+                # increment lands in the hi half, which can never carry
+                # into the lo fields
+                ul_sc = shift_down(psc) + delta
+                ul_P12 = jnp.where(row0, x, shift_down(pP12)) + incP12
+
+                ban = (ys > 3) & (ys - 3 > x)
+                left_sc = jnp.where(ban, NEG, psc + GAP)
+                # LEFT adds only a gap, which is no longer carried: the
+                # payload is pP12 unchanged
+
+                lw = left_sc > ul_sc
+                e_key = jnp.where(lw, left_sc * 2, ul_sc * 2 + 1)
+                e_P12 = jnp.where(lw, pP12, ul_P12)
+                if tie_flag:
+                    t1 = (left_sc == ul_sc) & (
+                        ((ul_P12 | pP12) & _P12_TIEMASK) != 0
+                    )
+
+                up0_better = row0 & (2 * GAP >= e_key)
+                if tie_flag:
+                    t2 = row0 & ((e_key | 1) == 2 * GAP + 1) & (
+                        (e_P12 & _P12_TIEMASK) != 0
+                    )
+                e_key = jnp.where(up0_better, 2 * GAP, e_key)
+                e_P12 = jnp.where(up0_better, x + _P12_BU, e_P12)
+                if tie_flag:
+                    e_P12 = jnp.where(t1 | t2, e_P12 | _P12_FLAG, e_P12)
+
+                akey = e_key - key_gap2
+                state = (akey, e_P12)
+                for i in range(nscan):
+                    sh = 1 << i
+                    if sh >= window:
+                        break
+                    shifted = tuple(
+                        jnp.concatenate(
+                            [jnp.full((sh, tile_b),
+                                      2 * NEG if k == 0 else 0, s.dtype),
+                             s[:-sh]], axis=0,
+                        )
+                        for k, s in enumerate(state)
+                    )
+                    ka, kb = shifted[0], state[0]
+                    ywins = (kb > ka) | ((kb == ka) & ((kb & 1) == 1))
+                    if tie_flag:
+                        ts_tie = (((ka ^ kb) | 1) == 1) & (
+                            ((shifted[1] | state[1]) & _P12_TIEMASK) != 0
+                        )
+                    state = tuple(
+                        jnp.where(ywins, sb, sa)
+                        for sa, sb in zip(shifted, state)
+                    )
+                    if tie_flag:
+                        state = (state[0],
+                                 jnp.where(ts_tie, state[1] | _P12_FLAG,
+                                           state[1]))
+                ckey, cP12 = state
+                cur = jnp.maximum((ckey >> 1) + gap_y, FLOOR)
+                psc, pP12 = cur, cP12
+
+                # per-column running best (a step-local tournament that
+                # defers the best-plane update to once per grid step was
+                # measured SLOWER — 13.0M vs 14.7M r/s — the extra
+                # compare/selects cost more than the saved plane writes)
+                xv = (x < lengths)[None, :]
+                candkey = (cur << 15) | (32767 - x)
+                improve = (candkey > bkey) & xv
+                if tie_flag:
+                    t4 = (cur == (bkey >> 15)) & xv & (
+                        ((cP12 | bP12) & _P12_TIEMASK) != 0
+                    )
+                    bP12 = jnp.where(improve, cP12,
+                                     jnp.where(t4, bP12 | _P12_FLAG, bP12))
+                else:
+                    bP12 = jnp.where(improve, cP12, bP12)
+                bkey = jnp.where(improve, candkey, bkey)
+              col_scr[0], col_scr[1] = psc, pP12
+              best_scr[0], best_scr[1] = bkey, bP12
+
+        @pl.when(xg == pl.num_programs(1) - 1)
+        def _finish():
+            kk = jnp.where(ys < H, best_scr[0],
+                           jnp.int32((FLOOR - 1) << 15))
+            m = jnp.max(kk, axis=0)
+            cand = kk == m[None, :]
+            ymin = jnp.min(jnp.where(cand, ysb, H_pad), axis=0)
+            sel = ysb == ymin[None, :]
+            bp12 = jnp.sum(jnp.where(sel, best_scr[1], 0), axis=0)
+
+            mv = (bp12 >> _P12_M_SHIFT) & 0x1F
+            mmv = (bp12 >> _P12_MM_SHIFT) & 0x1F
+            nmv = (bp12 >> _P12_NM_SHIFT) & 0x1F
+            qsv = bp12 & _P12_QS
+            tsv = (bp12 >> _P12_TS_SHIFT) & 0x1F
+            buv = (bp12 >> 15) & 1
+            qev = jnp.where(ymin == H_pad, 0, 32767 - (m & 32767))
+            tev = jnp.where(ymin == H_pad, 0, ymin)
+            m_ref[:] = mv
+            mm_ref[:] = mmv
+            nm_ref[:] = nmv
+            ts_ref[:] = tsv
+            qs_ref[:] = qsv
+            qe_ref[:] = qev
+            te_ref[:] = tev
+            # gaps from the span identity; zero when the best never left
+            # its init (length-0 padded rows: every real read improves at
+            # least once because cell (0,0) scores >= MISMATCH > FLOOR)
+            valid = m > INIT_KEY
+            g = (tev - tsv + 1) + (qev - qsv + 1) - 2 * (mv + mmv + nmv) - buv
+            g_ref[:] = jnp.where(valid, g, 0)
+            if tie_flag:
+                sc_row = best_scr[0] >> 15
+                msc = m >> 15
+                cand0 = (ys < H) & (sc_row == msc[None, :])
+                multi = jnp.sum(cand0.astype(jnp.int32), axis=0) > 1
+                nmrow = cand0 & ((best_scr[1] & _P12_TIEMASK) != 0)
+                t5 = multi & (jnp.sum(nmrow.astype(jnp.int32), axis=0) > 0)
+                tf_ref[:] = ((bp12 >> 14) & 1) | t5.astype(jnp.int32)
 
     return kernel
 
@@ -664,7 +927,14 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     out_shape = tuple(
         jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(n_out)
     )
-    kernel = _make_kernel_packed(H, H_pad, L_pad, tile_b, has_nm, tie_flag)
+    use_p12 = packed12_ok(L, H) and not os.environ.get("FASTX_TPU_NO_P12")
+    if use_p12:
+        kernel = _make_kernel_packed12(H, H_pad, tile_b, has_nm, tie_flag)
+        n_state = 2  # single merged payload plane (see _make_kernel_packed12)
+    else:
+        kernel = _make_kernel_packed(H, H_pad, L_pad, tile_b, has_nm,
+                                     tie_flag)
+        n_state = 3
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # [n_tiles] maxlens
@@ -696,8 +966,8 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3, H_pad, tile_b), jnp.int32),
-            pltpu.VMEM((3, H_pad, tile_b), jnp.int32),
+            pltpu.VMEM((n_state, H_pad, tile_b), jnp.int32),
+            pltpu.VMEM((n_state, H_pad, tile_b), jnp.int32),
         ],
         interpret=interpret,
     )(*operands)

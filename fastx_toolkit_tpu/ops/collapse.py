@@ -72,22 +72,40 @@ collapse_jit = jax.jit(collapse)
 def collapse_hashed(words, counts, first_idx, weak_hash: bool = False):
     """collapse() with a hash-prefix sort: rows are ordered by two
     independent 32-bit rolling hashes of the key words (+ first_idx as
-    the deterministic tie-break) instead of the full W-word
-    lexicographic key, so the bitonic sort network streams 3 key words
-    per compare-exchange pass instead of W+1 (~2-3x less HBM traffic on
-    100 bp reads; the dedup only needs equal rows CONTIGUOUS, not any
-    particular order, and the CLI re-orders output by count/first-
-    appearance afterwards - final_order).  Segment boundaries come from
-    exact adjacent-row comparison of the gathered words, so the only
-    failure mode is a full 64-bit hash collision between DIFFERENT
-    sequences, which can interleave two groups; that case is DETECTED
-    exactly (adjacent rows with equal hashes but different words) and
-    returned as the ``collision`` flag — callers fall back to the exact
-    collapse() (collapse_batch does; probability ~B^2/2^65, and the
-    fallback keeps correctness unconditional).
+    the deterministic tie-break — every caller passes unique indices, so
+    the sort keys are all-distinct and the permutation is deterministic
+    without is_stable) instead of the full W-word lexicographic key, so
+    the bitonic sort network streams 3 key words per compare-exchange
+    pass instead of W+1 (the dedup only needs equal rows CONTIGUOUS, not
+    any particular order, and the CLI re-orders output by count/first-
+    appearance afterwards - final_order).
 
-    ``weak_hash`` (test hook) degrades both hashes to a constant so the
-    collision path is exercisable under pytest.
+    Segment boundaries come from material CARRIED THROUGH THE SORT as
+    payload — the first two true word columns (the reads' first 8 bytes)
+    plus a second independent 64-bit hash family (h3, h4) — replacing
+    the round-4 post-sort ``words[perm]`` row-gather + exact compare:
+    XLA row-gathers serialize per element on TPU and that gather alone
+    was ~60% of the kernel's runtime (BASELINE.md round 5).  Failure
+    analysis:
+
+    * equal sequences can never split (all carried material is a
+      function of the words);
+    * different adjacent sequences merge only if they agree on the sort
+      hashes, the prefix words AND the second family — four independent
+      32-bit mixes over the differing tail, ~B^2/2^129 per chunk;
+    * a sort-key (h1, h2) collision between different rows — the case
+      that can interleave two groups — is still DETECTED exactly as in
+      round 4 (adjacent rows with equal sort hashes but differing
+      carried material) and returned as ``collision``; callers fall
+      back to the exact collapse() (collapse_batch does).
+
+    The exact gather-based adjacent compare (unconditional correctness,
+    ~2.2x slower) remains available: FASTX_COLLAPSE_EXACT=1 routes
+    collapse_batch through collapse().
+
+    ``weak_hash`` (test hook) degrades the two SORT hashes to a constant
+    so the collision-detect path is exercisable under pytest (the second
+    family stays real, so the detector sees the differing material).
 
     Returns (perm, head, seg_id, seg_counts, seg_first, collision).
     """
@@ -97,28 +115,40 @@ def collapse_hashed(words, counts, first_idx, weak_hash: bool = False):
     B, W = words.shape
     wu = words.astype(jnp.uint32)
     # two independent multiplicative rolling hashes with xorshift mixing
-    # (nonlinear, so structured base patterns do not cancel mod 2^32)
+    # (nonlinear, so structured base patterns do not cancel mod 2^32),
+    # plus a second family for the carried boundary material
     h1 = jnp.full(B, 0x811C9DC5, jnp.uint32)
     h2 = jnp.full(B, 0x9E3779B9, jnp.uint32)
+    h3 = jnp.full(B, 0xC2B2AE35, jnp.uint32)
+    h4 = jnp.full(B, 0x27D4EB2F, jnp.uint32)
     for w in range(W):
         col = wu[:, w]
         h1 = h1 * jnp.uint32(0x01000193) + col
         h1 = h1 ^ (h1 >> 15)
         h2 = h2 * jnp.uint32(0x85EBCA6B) + (col ^ jnp.uint32((w * 0x9E3779B9) & 0xFFFFFFFF))
         h2 = h2 ^ (h2 >> 13)
+        h3 = h3 * jnp.uint32(0x9E3779B1) + (col ^ jnp.uint32((w * 0x632BE5AB) & 0xFFFFFFFF))
+        h3 = h3 ^ (h3 >> 16)
+        h4 = h4 * jnp.uint32(0x2545F491) + col
+        h4 = h4 ^ (h4 >> 11)
     if weak_hash:
         h1 = jnp.zeros(B, jnp.uint32)
         h2 = jnp.zeros(B, jnp.uint32)
-    # one lax.sort carries the hashes, tie-break, counts and the row
-    # permutation through the network together — no post-sort gathers
-    # (XLA row-gathers serialize on TPU; the only one left is the
-    # unavoidable words[perm] for the exact boundary compare)
-    sh1, sh2, sfirst, scnt, perm = jax.lax.sort(
-        (h1, h2, first_idx, counts, jnp.arange(B, dtype=jnp.int32)),
+    w0 = wu[:, 0] if W > 0 else jnp.zeros(B, jnp.uint32)
+    w1 = wu[:, 1] if W > 1 else jnp.zeros(B, jnp.uint32)
+    # one lax.sort carries keys, tie-break, counts, the row permutation
+    # and the boundary material through the network together — no
+    # post-sort gathers at all
+    sh1, sh2, sfirst, scnt, perm, sw0, sw1, sh3, sh4 = jax.lax.sort(
+        (h1, h2, first_idx, counts, jnp.arange(B, dtype=jnp.int32),
+         w0, w1, h3, h4),
         num_keys=3,
     )
-    sw = words[perm]
-    neq = (sw[1:] != sw[:-1]).any(axis=1)
+    neq = (
+        (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+        | (sw0[1:] != sw0[:-1]) | (sw1[1:] != sw1[:-1])
+        | (sh3[1:] != sh3[:-1]) | (sh4[1:] != sh4[:-1])
+    )
     head = jnp.concatenate([jnp.ones((1,), bool), neq])
     samehash = (sh1[1:] == sh1[:-1]) & (sh2[1:] == sh2[:-1])
     collision = jnp.any(samehash & neq)
@@ -137,13 +167,19 @@ def collapse_batch(bases: np.ndarray, counts: np.ndarray):
     """Host wrapper: returns (uniq_row_indices, uniq_counts, uniq_first)
     where uniq_row_indices point into the ORIGINAL batch (first-appearance
     representative of each distinct sequence)."""
+    import os
+
     B = bases.shape[0]
     if B == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
     words = pack_words(np.asarray(bases, dtype=np.uint8))
     first_idx = np.arange(B, dtype=np.int32)
-    res = collapse_hashed_jit(words, counts, first_idx)
-    if bool(np.asarray(res[5])):  # 64-bit hash collision: exact re-run
+    if os.environ.get("FASTX_COLLAPSE_EXACT"):
+        res = collapse_jit(words, counts, first_idx) + (False,)
+    else:
+        weak = bool(os.environ.get("FASTX_COLLAPSE_WEAK_HASH"))
+        res = collapse_hashed_jit(words, counts, first_idx, weak_hash=weak)
+    if bool(np.asarray(res[5])):  # sort-hash collision: exact re-run
         res = collapse_jit(words, counts, first_idx)
     perm, head, seg_id, seg_counts, seg_first = (
         np.asarray(x) for x in res[:5]

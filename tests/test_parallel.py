@@ -204,3 +204,46 @@ def test_collapse_hashed_collision_flag_and_fallback():
     truth = collections.Counter(map(bytes, bases))
     got = {bytes(bases[i]): int(c) for i, c in zip(uidx, ucnt)}
     assert got == dict(truth)
+
+
+def test_collapse_batch_weak_hash_exercises_fallback(monkeypatch):
+    """FASTX_COLLAPSE_WEAK_HASH must route collapse_batch itself through
+    the collision re-run (the exact lexsort), and the re-run's groups
+    must be exact — the fallback branch inside collapse_batch, not just
+    the collision flag, is what this covers."""
+    from fastx_toolkit_tpu.ops import collapse as C
+
+    rng = np.random.default_rng(13)
+    B, L = 48, 10
+    pool = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(7, L))
+    bases = pool[rng.integers(0, 7, B)]
+    counts = rng.integers(1, 4, B).astype(np.int32)
+
+    calls = []
+    real = C.collapse_jit
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(C, "collapse_jit", spy)
+    monkeypatch.setenv("FASTX_COLLAPSE_WEAK_HASH", "1")
+    uidx, ucnt, _ = C.collapse_batch(bases, counts)
+    assert calls, "weak-hash collision did not trigger the exact re-run"
+
+    import collections
+
+    truth = collections.Counter()
+    for b, c in zip(bases, counts):
+        truth[bytes(b)] += int(c)
+    got = {bytes(bases[i]): int(c) for i, c in zip(uidx, ucnt)}
+    assert got == dict(truth)
+
+    # FASTX_COLLAPSE_EXACT routes straight to the exact engine
+    calls.clear()
+    monkeypatch.delenv("FASTX_COLLAPSE_WEAK_HASH")
+    monkeypatch.setenv("FASTX_COLLAPSE_EXACT", "1")
+    uidx2, ucnt2, _ = C.collapse_batch(bases, counts)
+    assert calls
+    got2 = {bytes(bases[i]): int(c) for i, c in zip(uidx2, ucnt2)}
+    assert got2 == dict(truth)
