@@ -893,6 +893,8 @@ def run_config_collapse(device_resident: bool = False):
             return
 
     if device_resident:
+        import functools as _ft
+
         from fastx_toolkit_tpu.ops.collapse import collapse_hashed_jit
 
         rng = np.random.default_rng(0)
@@ -901,11 +903,13 @@ def run_config_collapse(device_resident: bool = False):
         xs = [jax.device_put(a) for a in
               (words, np.ones(CHUNK, np.int32), np.arange(CHUNK, dtype=np.int32))]
         _ = [np.asarray(x[:1]) for x in xs]
-        out = collapse_hashed_jit(*xs)
+        # unit_counts: the lane is plain FASTQ (counts all 1), the same
+        # static fast path collapse_batch takes for it
+        fn = _ft.partial(collapse_hashed_jit, unit_counts=True)
+        out = fn(*xs)
         _ = np.asarray(out[1][:1])  # compile + sync
         assert not bool(np.asarray(out[5])), "hash collision on bench lane"
-        best = timed_device_chain(collapse_hashed_jit, xs,
-                                  lambda o: np.asarray(o[1][:1]))
+        best = timed_device_chain(fn, xs, lambda o: np.asarray(o[1][:1]))
         emit(5, CHUNK / best, suffix="_device_resident")
         sol_accounting(5, CHUNK / best, n_key_words=words.shape[1])
         return
@@ -1188,16 +1192,18 @@ def sol_accounting(config_n: int, measured_rps: float,
     else:  # 5
         # hash-prefix sort (ops/collapse.collapse_hashed): XLA lowers the
         # sort to a bitonic network, ~log2(B)*(log2(B)+1)/2 compare-
-        # exchange passes (171 for 262144 rows), each streaming the two
-        # hash keys + first_idx + the six payload words (counts, perm,
-        # w0, w1, h3, h4) = 36 B/row; the W packed key words ride outside
-        # the network: one pass to hash them (the round-5 scheme carries
-        # the boundary material through the sort, so there is NO
-        # post-sort gather), plus the boundary compares/scans (~40 B/row)
+        # exchange passes (171 for 262144 rows, 210 for 1M).  Each pass
+        # READS AND WRITES every operand row: 3 keys (h1, h2, first_idx)
+        # + 4 payload words (w0, w1, h3, h4; counts elided on the
+        # unit-counts fast path) = 28 B/row, 56 B/row/pass moved.  The W
+        # packed key words ride outside the network: one pass to hash
+        # them (the boundary material is carried through the sort, so
+        # there is NO post-sort gather), plus boundary compares + the
+        # segment scans (~60 B/row)
         lg = int(np.ceil(np.log2(CHUNK)))
         passes = lg * (lg + 1) / 2
         key_bytes = 4.0 * n_key_words
-        hbm = passes * 36.0 + key_bytes + 40.0
+        hbm = passes * 56.0 + key_bytes + 60.0
         sol_bw = V5E_HBM_BPS / hbm
         sol_vpu = float("inf")
         bound = "hbm-bitonic-hash-sort"
@@ -1232,28 +1238,30 @@ def vpu_probe():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    H, Bt, U, K = 24, 2048, 256, 32
+    Bt, U, K = 2048, 256, 32
 
-    def make(dep: bool):
+    def make(dep: bool, H: int, dtype):
+        nbits = jnp.iinfo(dtype).bits
+
         def kernel(o_ref, scr):
             @pl.when(pl.program_id(0) == 0)
             def _i():
-                scr[:] = jnp.ones((H, Bt), jnp.int32)
+                scr[:] = jnp.ones((H, Bt), dtype)
 
             # program_id-dependent operand defeats constant folding; mix
             # add/xor/max like the DP's op mix
-            t = pl.program_id(0) + 1
+            t = pl.program_id(0).astype(dtype) + 1
             v = scr[:]
             if dep:
                 for k in range(U // 4):
                     v = v + t
-                    v = v ^ (k + 1)
+                    v = v ^ dtype(k + 1)
                     v = jnp.maximum(v, v - t)
-                    v = v + (v >> 31)
+                    v = v + (v >> (nbits - 1))
             else:
-                acc = [v + k for k in range(8)]  # 8 independent chains
+                acc = [v + dtype(k) for k in range(8)]  # 8 indep chains
                 for k in range(U // 8 - 1):
-                    acc = [a + t if k % 2 else a ^ (k + 1) for a in acc]
+                    acc = [a + t if k % 2 else a ^ dtype(k + 1) for a in acc]
                 v = acc[0]
                 for a in acc[1:]:
                     v = v + a
@@ -1268,24 +1276,42 @@ def vpu_probe():
             grid=(K,),
             out_specs=pl.BlockSpec((Bt,), lambda i: (0,),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Bt,), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((H, Bt), jnp.int32)],
+            out_shape=jax.ShapeDtypeStruct((Bt,), dtype),
+            scratch_shapes=[pltpu.VMEM((H, Bt), dtype)],
         )
 
-    for name, dep in (("dependent", True), ("independent", False)):
-        fn = jax.jit(make(dep))
-        _ = np.asarray(fn()[:1])
+    # int32 on the DP's working shape, plus int16 on the shape an int16
+    # DP variant would actually get (sublane tiling pads 24 rows to 32):
+    # if int16 plane ops do not move ~2x the elements/s, the int16
+    # state-halving idea is dead regardless of any relayout limitation
+    cases = (
+        ("dependent", True, 24, jnp.int32),
+        ("independent", False, 24, jnp.int32),
+        ("dependent_i16", True, 32, jnp.int16),
+        ("independent_i16", False, 32, jnp.int16),
+    )
+    for name, dep, H, dtype in cases:
+        try:
+            fn = jax.jit(make(dep, H, dtype))
+            _ = np.asarray(fn()[:1])
+        except Exception as e:
+            print(json.dumps({"metric": "vmem_stream_probe_" + name,
+                              "error": repr(e)[:200]}))
+            continue
         best = timed_device_chain(fn, (), lambda o: np.asarray(o[:1]),
                                   budget_s=10.0)
         plane_ops = K * U  # approximate for the independent variant
+        esize = jnp.iinfo(dtype).bits // 8
         vinstr = plane_ops * (H * Bt / 1024.0)
-        bytes_moved = plane_ops * (H * Bt * 4) * 2  # read + write per op
+        bytes_moved = plane_ops * (H * Bt * esize) * 2  # read + write per op
         print(json.dumps({
             "metric": "vmem_stream_probe_" + name,
             "value": round(bytes_moved / best / 1e12, 3),
             "unit": "TB/s VMEM read+write",
             "vinstr_per_sec_G": round(vinstr / best / 1e9, 3),
+            "elements_per_sec_G": round(plane_ops * H * Bt / best / 1e9, 2),
             "plane_shape": [H, Bt],
+            "dtype": str(dtype.__name__),
             "plane_ops": plane_ops,
             "sec_per_call": round(best, 5),
         }))
@@ -1532,7 +1558,7 @@ def scaling(n_procs: int = 2):
     # 2-core host can't manufacture an efficiency above 1.0 (VERDICT r2
     # item #6: a >1.0 reading is a measurement artifact by construction
     # and must not be published)
-    reps = int(os.environ.get("FASTX_BENCH_SCALE_REPS", 5))
+    reps = int(os.environ.get("FASTX_BENCH_SCALE_REPS", 7))
     slope_mode = bool(os.environ.get("FASTX_SCALING_SLOPE"))
     if slope_mode:
         scaling_slope(n_procs, workload, reps, lane, lane_ref,
@@ -1587,7 +1613,10 @@ def scaling(n_procs: int = 2):
         "note": "CPU backend both sides, 1 core + 1 native thread per process;"
                 " merged output byte-identical to single-process"
                 + ("; N > cores: processes share cores, efficiency is"
-                   " core-bound, not front-end-bound" if oversub else ""),
+                   " core-bound, not front-end-bound" if oversub else "")
+                + ("; WARNING: efficiency > 1.0 is a noise-saturated"
+                   " reading on this rig, not evidence"
+                   if eff_work > 1.0 else ""),
     }))
 
 
@@ -1652,6 +1681,210 @@ def scaling_slope(n_procs, workload, reps, big_lane, lane_ref,
     }))
 
 
+PER_READ_TOOLS = [
+    # (tool, extra argv) — the six raw-line-capable per-read CLIs
+    ("fastq_quality_filter", ["-q", "20", "-p", "80"]),
+    ("fastq_quality_trimmer", ["-t", "20", "-l", "16"]),
+    ("fastq_masker", ["-q", "20"]),
+    ("fastx_trimmer", ["-f", "5", "-l", "80"]),
+    ("fastq_to_fasta", []),
+    ("fastx_artifacts_filter", []),
+]
+
+
+def pertool(n_reads: int | None = None):
+    """Per-tool engine table backing engine/policy.py's per-read
+    host-wins default (VERDICT r4 item #7): for each of the six raw-line
+    tools, measure (a) the host raw-line path (FASTX_LINEPATH=on),
+    (b) the classic parse->device path on THIS rig (FASTX_LINEPATH=off,
+    chip over the tunnel), and (c) the classic path's host-side floor —
+    the padded-matrix parse + pack + render legs with the device stubbed
+    (JAX irrelevant) — which lower-bounds the classic path on ANY link,
+    including local PCIe.  If host(a) beats floor(c) for a tool, the
+    host default is right even with a free chip.
+
+    `python bench.py --pertool`; outputs byte-compared between modes.
+    """
+    import subprocess
+    import tempfile
+
+    n = n_reads or int(os.environ.get("FASTX_PERTOOL_READS", 200_000))
+    data = synth_lane_bytes(n, READ_LEN)
+    lane = tempfile.NamedTemporaryFile(suffix=".fastq", delete=False)
+    lane.write(data)
+    lane.close()
+    reps = int(os.environ.get("FASTX_PERTOOL_REPS", 3))
+    bindir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bin")
+
+    # per-process python+jax import startup (a constant a long-running
+    # job amortizes): measured once and subtracted so the per-tool rates
+    # reflect processing, not interpreter boot
+    startup_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        import subprocess as _sp
+
+        _sp.run([sys.executable, "-c",
+                 "import jax; import fastx_toolkit_tpu.cli.common"],
+                check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        startup_times.append(time.perf_counter() - t0)
+    startup = min(startup_times)
+    rows = []
+    for tool, extra in PER_READ_TOOLS:
+        row = {"tool": tool}
+        outs = {}
+        for mode, env_val in (("host", "on"), ("classic", "off")):
+            env = dict(os.environ)
+            env["FASTX_LINEPATH"] = env_val
+            env["PATH"] = bindir + os.pathsep + env.get("PATH", "")
+            out_path = lane.name + ".%s.%s.out" % (tool, mode)
+            argv = [os.path.join(bindir, tool), "-Q", "33",
+                    *extra, "-i", lane.name, "-o", out_path]
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                subprocess.run(argv, env=env, check=True,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+                times.append(time.perf_counter() - t0)
+            row[mode + "_rps"] = round(n / _median(times), 1)
+            row[mode + "_rps_startup_adjusted"] = round(
+                n / max(_median(times) - startup, 1e-3), 1)
+            row[mode + "_secs"] = [round(t, 2) for t in sorted(times)]
+            with open(out_path, "rb") as f:
+                outs[mode] = f.read()
+            os.unlink(out_path)
+        row["outputs_identical"] = outs["host"] == outs["classic"]
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+
+    # (c) the classic path's host-side floor, shared by every tool: the
+    # padded-matrix parse + 2-bit pack the device path cannot avoid
+    # (render differs per tool but adds further host work on top)
+    import io
+    from types import SimpleNamespace
+
+    from fastx_toolkit_tpu.cli.tools._shared import BatchReader
+    from fastx_toolkit_tpu.core import codec
+    from fastx_toolkit_tpu.engine.pipeline import PipelineConfig, pack_batch2
+
+    cfg0 = PipelineConfig()
+    floor_times = []
+    for _ in range(reps):
+        args = SimpleNamespace(input_filename="<bench>", q_offset=33)
+        t0 = time.perf_counter()
+        reader = BatchReader(None, args, filetype=codec.FASTQ_ONLY,
+                             stream=io.BytesIO(data))
+        for batch in reader:
+            pack_batch2(np.asarray(batch.bases),
+                        np.ascontiguousarray(batch.quals, np.int8), cfg0,
+                        n_plane=False)
+        floor_times.append(time.perf_counter() - t0)
+    floor_rps = n / _median(floor_times)
+    os.unlink(lane.name)
+    print(json.dumps({
+        "metric": "per_tool_engine_table",
+        "n_reads": n,
+        "startup_sec": round(startup, 2),
+        "classic_parse_pack_floor_rps": round(floor_rps, 1),
+        "note": "floor = classic path's mandatory host parse+pack with "
+                "the device free; host_rps > floor means host wins on "
+                "any link (engine/policy.py per-read default)",
+        "tools": rows,
+    }))
+
+
+def meshsweep():
+    """Collective/sharding overhead vs device count on the virtual CPU
+    mesh (VERDICT r4 item #6): the sharded flagship pipeline and the
+    sharded stats reduction at 1/2/4/8 devices with FIXED PER-DEVICE
+    work.  On this 2-core host the virtual devices share cores, so
+    absolute times grow with n — the meaningful reading is the jitted
+    program's sharding/collective structure compiling and the per-device
+    work scaling, which this rig CAN resolve (unlike 2-process wall-time
+    efficiency, which its core count saturates).  We therefore report
+    per-device-work time normalized by the n=1 point alongside the raw
+    times, and flag that n>2 points include core oversubscription.
+
+    `python bench.py --meshsweep` (re-execs itself onto the CPU backend
+    with 8 virtual devices)."""
+    import subprocess
+
+    if not os.environ.get("FASTX_MESHSWEEP_CHILD"):
+        env = dict(os.environ)
+        env["FASTX_MESHSWEEP_CHILD"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--meshsweep"], env=env, check=True)
+        return
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from fastx_toolkit_tpu.parallel import mesh as pmesh
+
+    per_dev = int(os.environ.get("FASTX_MESHSWEEP_PERDEV", 8192))
+    reps = int(os.environ.get("FASTX_MESHSWEEP_REPS", 5))
+    devs = jax.devices()
+    rng = np.random.default_rng(0)
+    rows = []
+    for n in (1, 2, 4, 8):
+        if n > len(devs):
+            break
+        B = per_dev * n
+        m = Mesh(np.array(devs[:n]), ("data",))
+        bases = rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                           size=(B, READ_LEN))
+        quals = rng.integers(2, 41, size=(B, READ_LEN)).astype(np.int8)
+        lengths = np.full(B, READ_LEN, np.int32)
+        counts = np.ones(B, np.int32)
+        fn = pmesh.sharded_pipeline(m, adapter=ADAPTER)
+        out = fn(bases, quals, lengths, counts)
+        jax.block_until_ready(out)
+        t_pipe = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(bases, quals, lengths, counts))
+            t_pipe.append(time.perf_counter() - t0)
+        t_st = []
+        out = pmesh.sharded_stats(m, bases, quals, lengths, counts,
+                                  is_fastq=True)
+        jax.block_until_ready(out)
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                pmesh.sharded_stats(m, bases, quals, lengths, counts,
+                                    is_fastq=True)
+            )
+            t_st.append(time.perf_counter() - t0)
+        rows.append({
+            "devices": n, "rows_total": B, "rows_per_device": per_dev,
+            "pipeline_sec_median": round(_median(t_pipe), 4),
+            "stats_sec_median": round(_median(t_st), 4),
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    base_p = rows[0]["pipeline_sec_median"]
+    base_s = rows[0]["stats_sec_median"]
+    for r in rows:
+        r["pipeline_overhead_vs_1dev"] = round(
+            r["pipeline_sec_median"] / base_p, 3)
+        r["stats_overhead_vs_1dev"] = round(r["stats_sec_median"] / base_s, 3)
+    print(json.dumps({
+        "metric": "virtual_mesh_devicecount_sweep",
+        "read_len": READ_LEN,
+        "repeats": reps,
+        "host_cores": os.cpu_count(),
+        "note": "fixed per-device work; overhead_vs_1dev ~ 1.0 means the "
+                "sharding/collective structure adds no per-device cost; "
+                "n > cores points include core oversubscription on this "
+                "2-core host",
+        "points": rows,
+    }))
+
+
 def main():
     import jax
 
@@ -1677,6 +1910,12 @@ def main():
         return
     if "--vpuprobe" in sys.argv:
         vpu_probe()
+        return
+    if "--pertool" in sys.argv:
+        pertool()
+        return
+    if "--meshsweep" in sys.argv:
+        meshsweep()
         return
     if "--device" in sys.argv:
         device_only(config_n)
@@ -1722,16 +1961,31 @@ def main():
     print("link pre-warm %.1fs" % (time.perf_counter() - t0), file=sys.stderr)
 
     # median-of-N is the artifact; the tunnel's bandwidth swings 6-35
-    # MB/s minute to minute, so more samples = a fairer median
+    # MB/s minute to minute, so more samples = a fairer median, every
+    # iteration is preceded by a link probe that (a) re-warms the
+    # connection out of any idle ramp and (b) records the phase the
+    # iteration ran in (per-iter MB/s lands in the JSON so a bad-phase
+    # median is visible as such, VERDICT r4 item #5)
+    def link_probe(nbytes_probe: int = 4 << 20) -> float:
+        """Upload nbytes + tiny readback; returns apparent MB/s."""
+        buf = np.empty(nbytes_probe, np.uint8)
+        t0 = time.perf_counter()
+        d = jax.device_put(buf)
+        _ = np.asarray(d[:1])
+        return nbytes_probe / (time.perf_counter() - t0) / 1e6
+
     times = []
-    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 7))):
+    link_mbps = []
+    for it in range(int(os.environ.get("FASTX_BENCH_ITERS", 11))):
+        mbps = link_probe()
+        link_mbps.append(mbps)
         t0 = time.perf_counter()
         n, nbytes = run_once_auto(data, eng, cfg, arena)
         dt = time.perf_counter() - t0
         times.append(dt)
         print(
-            "iter %d: %.3fs  (%.0f reads/s, %d bytes out)"
-            % (it, dt, n / dt, nbytes),
+            "iter %d: %.3fs  (%.0f reads/s, %d bytes out, link %.1f MB/s)"
+            % (it, dt, n / dt, nbytes, mbps),
             file=sys.stderr,
         )
     _maybe_dump(bytes(arena[:nbytes]))
@@ -1777,6 +2031,11 @@ def main():
                 "stat": "median_of_%d" % len(times),
                 "best_reads_per_sec": round(N_READS / min(times), 1),
                 "iter_secs": [round(t, 3) for t in sorted(times)],
+                # iteration order (unsorted) so each time pairs with the
+                # link phase it ran in
+                "iter_reads_per_sec": [round(N_READS / t, 1) for t in times],
+                "iter_link_MBps": [round(m, 1) for m in link_mbps],
+                "link_MBps_median": round(_median(link_mbps), 1),
                 **(
                     {"device_resident_reads_per_sec": round(dev_rps, 1)}
                     if dev_rps

@@ -24,14 +24,19 @@ Policy (the auto mode):
 * **PCIe-local TPU** -> ``device`` for the reductions (stats, collapse):
   their operand uploads are ~10 ms at PCIe bandwidth and the device
   kernels run millions of reads/sec (BASELINE.md --device table).
-* **per-read tools** -> ``host`` on every rig *by measurement*: a single
-  per-read tool is bounded by the host parse/render legs either way, and
-  the raw-line decide pass (1.13M r/s measured, BASELINE.md host-codec
-  ceiling) outruns the classic padded-matrix parse that the device path
-  requires (~0.7M r/s) even with a free link.  The device only wins when
-  many stages fuse into one program — that is the fastx_pipeline CLI,
-  which always rides the device.  ``FASTX_LINEPATH=off`` forces the
-  classic device path for differential testing.
+* **per-read tools** -> ``host`` on every rig, backed by the PER-TOOL
+  measured table (``python bench.py --pertool``, 2026-08-21, recorded in
+  BASELINE.md round 5): each of the six raw-line tools runs 2.4-10x
+  faster through the host path than the classic device path on this rig
+  (startup-adjusted; outputs byte-identical).  The local-PCIe
+  extrapolation holds tool-by-tool because both paths pay the same
+  render/IO legs (~85% of the host wall) while the classic path adds
+  the padded parse+pack on top (measured floor ~1.0M r/s); even with a
+  FREE chip and link the classic path cannot come out ahead for any of
+  the six.  The device only wins when many stages fuse into one
+  program — that is the fastx_pipeline CLI, which always rides the
+  device.  ``FASTX_LINEPATH=off`` forces the classic device path for
+  differential testing.
 
 Every surface keeps its historical env override (FASTX_STATS_PATH,
 FASTX_COLLAPSE_PATH, FASTX_TPU_NO_LINEPATH) on top of this shared auto.
@@ -59,6 +64,11 @@ def backend_kind() -> str:
         return "cpu"
     if plat not in ("tpu", "axon"):
         return "cpu"
+    if os.environ.get("FASTX_FORCE_LOCAL"):
+        # test hook: treat the chip as PCIe-local so the tpu-local
+        # device-auto branches run on tunnel rigs too (the real-chip
+        # smoke in HARDWARE_VERIFICATION.md exercises them this way)
+        return "tpu-local"
     tunnel = plat == "axon" or bool(
         os.environ.get("PALLAS_AXON_POOL_IPS")
         or "axon" in os.environ.get("JAX_PLATFORMS", "")

@@ -60,26 +60,31 @@ def _make_kernel(pos_blk: int, tile_b: int, n_btiles: int):
         # lo_ref: [tile_b, pos_blk] int32 flat ids, batch-major
         #         (batch on sublanes)
         # out_ref: [pos_blk*8, 128] int32 — per position (8 hi rows, 128 lo)
-        # acc:     same shape, f32, accumulated across the B tiles
+        # acc:     same shape, int32, accumulated across the B tiles
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _init():
-            acc[:] = jnp.zeros((pos_blk * NHI, NLO), jnp.float32)
+            acc[:] = jnp.zeros((pos_blk * NHI, NLO), jnp.int32)
 
         hi_iota = jax.lax.broadcasted_iota(jnp.int32, (NHI, tile_b), 0)
         lo_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_b, NLO), 1)
         for p in range(pos_blk):
             hi = hi_ref[p : p + 1, :] >> 7  # [1, tile_b]
-            oh = (hi_iota == hi).astype(jnp.float32)  # [NHI, tile_b]
+            # int8 one-hots: 0/1 are exact, the v5e MXU runs int8 at 2x
+            # the bf16 rate, and the [tile_b, NLO] construction — the
+            # kernel's dominant VPU cost — moves a quarter of the f32
+            # bytes (bf16 one-hots were measured perf-neutral; int8 is
+            # the variant that moved the kernel)
+            oh = (hi_iota == hi).astype(jnp.int8)  # [NHI, tile_b]
             lo = lo_ref[:, p : p + 1] & 127  # [tile_b, 1]
-            ol = (lo_iota == lo).astype(jnp.float32)  # [tile_b, NLO]
-            part = jnp.dot(oh, ol, preferred_element_type=jnp.float32)
+            ol = (lo_iota == lo).astype(jnp.int8)  # [tile_b, NLO]
+            part = jnp.dot(oh, ol, preferred_element_type=jnp.int32)
             acc[p * NHI : (p + 1) * NHI, :] += part
 
         @pl.when(t == n_btiles - 1)
         def _finish():
-            out_ref[:] = acc[:].astype(jnp.int32)
+            out_ref[:] = acc[:]
 
     return kernel
 
@@ -103,7 +108,7 @@ def _hist_from_flat(flat, L: int, L_pad: int, pos_blk: int, tile_b: int,
         out_specs=pl.BlockSpec((pos_blk * NHI, NLO), lambda i, t: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L_pad * NHI, NLO), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((pos_blk * NHI, NLO), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((pos_blk * NHI, NLO), jnp.int32)],
         interpret=interpret,
     )(flatT, flat)
     return out.reshape(L_pad, NHI * NLO)[:L, :F].reshape(L, NSLOTS, NBINS)

@@ -69,7 +69,8 @@ def collapse(words, counts, first_idx):
 collapse_jit = jax.jit(collapse)
 
 
-def collapse_hashed(words, counts, first_idx, weak_hash: bool = False):
+def collapse_hashed(words, counts, first_idx, weak_hash: bool = False,
+                    unit_counts: bool = False):
     """collapse() with a hash-prefix sort: rows are ordered by two
     independent 32-bit rolling hashes of the key words (+ first_idx as
     the deterministic tie-break — every caller passes unique indices, so
@@ -106,8 +107,15 @@ def collapse_hashed(words, counts, first_idx, weak_hash: bool = False):
     ``weak_hash`` (test hook) degrades the two SORT hashes to a constant
     so the collision-detect path is exercisable under pytest (the second
     family stays real, so the detector sees the differing material).
+    ``unit_counts`` (static): the caller guarantees counts == 1
+    everywhere (plain FASTQ input — get_reads_count is always 1,
+    fastx.c:479-481), so the counts column need not ride the sort
+    network; segment counts are segment sizes.
 
-    Returns (perm, head, seg_id, seg_counts, seg_first, collision).
+    Returns (perm, head, seg_id, seg_counts, seg_first, collision);
+    ``perm`` is None — no consumer needs the permutation since the
+    boundary material rides the sort (it existed for the round-4
+    ``words[perm]`` gather).
     """
     words = jnp.asarray(words)
     counts = jnp.asarray(counts)
@@ -136,14 +144,16 @@ def collapse_hashed(words, counts, first_idx, weak_hash: bool = False):
         h2 = jnp.zeros(B, jnp.uint32)
     w0 = wu[:, 0] if W > 0 else jnp.zeros(B, jnp.uint32)
     w1 = wu[:, 1] if W > 1 else jnp.zeros(B, jnp.uint32)
-    # one lax.sort carries keys, tie-break, counts, the row permutation
-    # and the boundary material through the network together — no
-    # post-sort gathers at all
-    sh1, sh2, sfirst, scnt, perm, sw0, sw1, sh3, sh4 = jax.lax.sort(
-        (h1, h2, first_idx, counts, jnp.arange(B, dtype=jnp.int32),
-         w0, w1, h3, h4),
-        num_keys=3,
-    )
+    # one lax.sort carries keys, tie-break, counts and the boundary
+    # material through the network together — no post-sort gathers at
+    # all (each network pass reads AND writes every operand, so every
+    # dropped column saves 8 B/row/pass)
+    ops = (h1, h2, first_idx) + (() if unit_counts else (counts,)) + (
+        w0, w1, h3, h4)
+    sorted_ops = jax.lax.sort(ops, num_keys=3)
+    sh1, sh2, sfirst = sorted_ops[:3]
+    scnt = (jnp.ones(B, counts.dtype) if unit_counts else sorted_ops[3])
+    sw0, sw1, sh3, sh4 = sorted_ops[-4:]
     neq = (
         (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
         | (sw0[1:] != sw0[:-1]) | (sw1[1:] != sw1[:-1])
@@ -157,10 +167,11 @@ def collapse_hashed(words, counts, first_idx, weak_hash: bool = False):
     seg_first = jnp.full(B, jnp.iinfo(jnp.int32).max, jnp.int32).at[seg_id].min(
         sfirst
     )
-    return perm, head, seg_id, seg_counts, seg_first, collision
+    return None, head, seg_id, seg_counts, seg_first, collision
 
 
-collapse_hashed_jit = jax.jit(collapse_hashed, static_argnames=("weak_hash",))
+collapse_hashed_jit = jax.jit(collapse_hashed,
+                              static_argnames=("weak_hash", "unit_counts"))
 
 
 def collapse_batch(bases: np.ndarray, counts: np.ndarray):
@@ -178,11 +189,12 @@ def collapse_batch(bases: np.ndarray, counts: np.ndarray):
         res = collapse_jit(words, counts, first_idx) + (False,)
     else:
         weak = bool(os.environ.get("FASTX_COLLAPSE_WEAK_HASH"))
-        res = collapse_hashed_jit(words, counts, first_idx, weak_hash=weak)
+        res = collapse_hashed_jit(words, counts, first_idx, weak_hash=weak,
+                                  unit_counts=bool((counts == 1).all()))
     if bool(np.asarray(res[5])):  # sort-hash collision: exact re-run
         res = collapse_jit(words, counts, first_idx)
-    perm, head, seg_id, seg_counts, seg_first = (
-        np.asarray(x) for x in res[:5]
+    head, seg_id, seg_counts, seg_first = (
+        np.asarray(x) for x in res[1:5]
     )
     nseg = int(head.sum())
     uniq_first = seg_first[:nseg]

@@ -46,6 +46,22 @@ def test_auto_reductions_device_on_local_tpu(monkeypatch):
     assert policy.engine_auto("per-read") == "host"
 
 
+def test_force_local_hook(monkeypatch):
+    """FASTX_FORCE_LOCAL makes a tunnel-attached (or any TPU-backed)
+    rig report tpu-local, so the device-auto branches are exercisable
+    on the real chip (HARDWARE_VERIFICATION.md smoke)."""
+    if policy.backend_kind() == "cpu":
+        # no TPU in the CPU suite: the hook must not invent one
+        monkeypatch.setenv("FASTX_FORCE_LOCAL", "1")
+        assert policy.backend_kind() == "cpu"
+    else:
+        monkeypatch.setenv("FASTX_FORCE_LOCAL", "1")
+        assert policy.backend_kind() == "tpu-local"
+        if native.LIB is not None:
+            assert policy.engine_auto("stats") == "device"
+            assert policy.engine_auto("collapse") == "device"
+
+
 def test_auto_device_without_native(monkeypatch):
     monkeypatch.setattr(native, "LIB", None)
     for kind in ("stats", "collapse", "per-read"):

@@ -81,3 +81,34 @@ def test_hist_kernel_long_reads_multi_posblock():
     got = S.derive_from_hist(pernuc)
     for name, w, g in zip(("count", "hist", "qsum", "qmin", "qmax"), want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g), err_msg=name)
+
+
+def test_hist_kernel_long_reads_multi_posblock_compiled():
+    """The L > 128 geometry through the REAL Mosaic lowering (advisor
+    item: the interpret tests never compile the pos_blk=128 unrolled
+    kernel).  Under FASTX_TPU_TEST_REAL this compiles on the chip at the
+    production tile (512); the CPU suite necessarily falls back to
+    interpret mode (Pallas has no non-interpret CPU lowering), so the
+    compiled coverage comes from the real-chip suite run logged in
+    HARDWARE_VERIFICATION.md."""
+    import os
+
+    import jax
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    if interpret and os.environ.get("FASTX_TPU_TEST_REAL"):
+        raise AssertionError("FASTX_TPU_TEST_REAL set but no TPU device")
+    rng = np.random.default_rng(15)
+    B, L = 512, 200
+    bases = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=(B, L))
+    quals = rng.integers(-10, 60, size=(B, L)).astype(np.int8)
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    counts = np.ones(B, np.int32)
+    want = S.accumulate(bases, quals, lengths, counts, is_fastq=True)
+    pernuc = np.asarray(
+        stats_hist_pallas(bases, quals, lengths, tile_b=512,
+                          interpret=interpret)
+    )
+    got = S.derive_from_hist(pernuc)
+    for name, w, g in zip(("count", "hist", "qsum", "qmin", "qmax"), want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g), err_msg=name)
