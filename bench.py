@@ -1966,13 +1966,20 @@ def main():
     # connection out of any idle ramp and (b) records the phase the
     # iteration ran in (per-iter MB/s lands in the JSON so a bad-phase
     # median is visible as such, VERDICT r4 item #5)
-    def link_probe(nbytes_probe: int = 4 << 20) -> float:
-        """Upload nbytes + tiny readback; returns apparent MB/s."""
-        buf = np.empty(nbytes_probe, np.uint8)
+    probe_buf = np.random.default_rng(123).integers(
+        0, 256, 4 << 20, dtype=np.uint8
+    )  # incompressible: an empty/zero buffer reads ~3x the real link
+
+    def link_probe() -> float:
+        """Upload 4 MB of incompressible bytes + tiny readback; returns
+        apparent MB/s."""
+        probe_buf[:8] = np.frombuffer(
+            np.int64(time.perf_counter_ns()).tobytes(), np.uint8
+        )  # defeat any whole-buffer dedup across iterations
         t0 = time.perf_counter()
-        d = jax.device_put(buf)
+        d = jax.device_put(probe_buf)
         _ = np.asarray(d[:1])
-        return nbytes_probe / (time.perf_counter() - t0) / 1e6
+        return len(probe_buf) / (time.perf_counter() - t0) / 1e6
 
     times = []
     link_mbps = []
@@ -2008,15 +2015,11 @@ def main():
         xs = [jax.device_put(a) for a in (b2, planes, dlens)]
         _ = [np.asarray(x[:1]) for x in xs]
         _ = np.asarray(fn(*xs)[0][:1])  # compile + sync
-        dbest = float("inf")
-        t_start = time.perf_counter()
-        for _i in range(12):
-            t0 = time.perf_counter()
-            out = fn(*xs)
-            _ = np.asarray(out[0][:1])
-            dbest = min(dbest, time.perf_counter() - t0)
-            if time.perf_counter() - t_start > 15:
-                break
+        # chained dispatch so the tunnel's per-call RPC overlaps kernel
+        # execution (same protocol as --device; single-dispatch timing
+        # under-reads the chip by the ~3 ms RPC floor)
+        dbest = timed_device_chain(fn, xs, lambda o: np.asarray(o[0][:1]),
+                                   budget_s=12.0)
         dev_rps = CHUNK / dbest
     except Exception as e:  # never let the extra figure break the artifact
         print("device-resident extra failed: %r" % e, file=sys.stderr)
