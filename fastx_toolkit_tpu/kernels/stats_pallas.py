@@ -55,9 +55,9 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(pos_blk: int, tile_b: int, n_btiles: int):
     def kernel(hi_ref, lo_ref, out_ref, acc):
-        # hi_ref: [pos_blk, tile_b] int32 flat ids, position-major
+        # hi_ref: [pos_blk, tile_b] int16/int32 flat ids, position-major
         #         (batch on lanes)
-        # lo_ref: [tile_b, pos_blk] int32 flat ids, batch-major
+        # lo_ref: [tile_b, pos_blk] int16/int32 flat ids, batch-major
         #         (batch on sublanes)
         # out_ref: [pos_blk*8, 128] int32 — per position (8 hi rows, 128 lo)
         # acc:     same shape, int32, accumulated across the B tiles
@@ -70,14 +70,14 @@ def _make_kernel(pos_blk: int, tile_b: int, n_btiles: int):
         hi_iota = jax.lax.broadcasted_iota(jnp.int32, (NHI, tile_b), 0)
         lo_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_b, NLO), 1)
         for p in range(pos_blk):
-            hi = hi_ref[p : p + 1, :] >> 7  # [1, tile_b]
+            hi = hi_ref[p : p + 1, :].astype(jnp.int32) >> 7  # [1, tile_b]
             # int8 one-hots: 0/1 are exact, the v5e MXU runs int8 at 2x
             # the bf16 rate, and the [tile_b, NLO] construction — the
             # kernel's dominant VPU cost — moves a quarter of the f32
             # bytes (bf16 one-hots were measured perf-neutral; int8 is
             # the variant that moved the kernel)
             oh = (hi_iota == hi).astype(jnp.int8)  # [NHI, tile_b]
-            lo = lo_ref[:, p : p + 1] & 127  # [tile_b, 1]
+            lo = lo_ref[:, p : p + 1].astype(jnp.int32) & 127  # [tile_b, 1]
             ol = (lo_iota == lo).astype(jnp.int8)  # [tile_b, NLO]
             part = jnp.dot(oh, ol, preferred_element_type=jnp.int32)
             acc[p * NHI : (p + 1) * NHI, :] += part
@@ -128,7 +128,7 @@ def _pad_flat(flat, L: int, L_pad: int):
     B = flat.shape[0]
     if L_pad != L:
         flat = jnp.concatenate(
-            [flat, jnp.full((B, L_pad - L), F, jnp.int32)], axis=1
+            [flat, jnp.full((B, L_pad - L), F, flat.dtype)], axis=1
         )
     return flat
 
@@ -148,15 +148,17 @@ def stats_hist_pallas(bases, quals, lengths, tile_b: int = 512,
     L_pad, pos_blk = _pos_geometry(L)
 
     # slot via compares, not a 256-LUT gather (XLA gathers serialize on
-    # TPU and dominated this kernel's runtime)
+    # TPU and dominated this kernel's runtime); the build runs in int16
+    # (bins < 655 fit) so the materialized flat ids and their transpose
+    # move half the int32 bytes
     b = bases
-    nuc = jnp.zeros(b.shape, jnp.int32)
+    nuc = jnp.zeros(b.shape, jnp.int16)
     for i, pair in enumerate((b"Aa", b"Cc", b"Gg", b"Tt", b"Nn")):
         hit = (b == pair[0]) | (b == pair[1])
-        nuc = jnp.where(hit, i + 1, nuc)
-    qbin = jnp.clip(quals.astype(jnp.int32) - MIN_Q, 0, NBINS - 1)
+        nuc = jnp.where(hit, jnp.int16(i + 1), nuc)
+    qbin = jnp.clip(quals.astype(jnp.int16) - MIN_Q, 0, NBINS - 1)
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
-    flat = jnp.where(valid, nuc * NBINS + qbin, F)  # F = sentinel, sliced off
+    flat = jnp.where(valid, nuc * jnp.int16(NBINS) + qbin, jnp.int16(F))
     flat = _pad_flat(flat, L, L_pad)
     return _hist_from_flat(flat, L, L_pad, pos_blk, tile_b, interpret)
 
@@ -172,11 +174,16 @@ def stats_hist_pallas_b2(b2, quals, lengths, tile_b: int = 512,
     B, L = quals.shape
     assert B % tile_b == 0, (B, tile_b)
     L_pad, pos_blk = _pos_geometry(L)
+    # the whole id build runs in int16 (bins < 655 fit): the materialized
+    # flat array and its [B, L] -> [L, B] transpose — the only HBM-heavy
+    # prep legs — move half the bytes of the int32 build, and the kernel
+    # widens the ids per row/column read
     codes = jnp.stack(
         [(b2 >> 6) & 3, (b2 >> 4) & 3, (b2 >> 2) & 3, b2 & 3], axis=2
-    ).reshape(B, -1)[:, :L].astype(jnp.int32)
-    qbin = jnp.clip(quals.astype(jnp.int32) - MIN_Q, 0, NBINS - 1)
+    ).reshape(B, -1)[:, :L].astype(jnp.int16)
+    qbin = jnp.clip(quals.astype(jnp.int16) - MIN_Q, 0, NBINS - 1)
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
-    flat = jnp.where(valid, (codes + 1) * NBINS + qbin, F)
+    flat = jnp.where(valid, (codes + 1) * jnp.int16(NBINS) + qbin,
+                     jnp.int16(F))
     flat = _pad_flat(flat, L, L_pad)
     return _hist_from_flat(flat, L, L_pad, pos_blk, tile_b, interpret)
