@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -116,6 +117,22 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
 
     tie = getattr(engines, "tie", False)
 
+    # per-leg trace (FASTX_LINES_TRACE=1): cumulative seconds per leg;
+    # frame/pack/dispatch-stall run on the producer thread, drain on the
+    # drainer, render on the caller's thread — wall-clock overlap means
+    # the legs need not sum to the elapsed time
+    trace = bool(os.environ.get("FASTX_LINES_TRACE"))
+    tr = {"frame+scan": 0.0, "pack": 0.0, "dispatch_stall": 0.0,
+          "drain(link)": 0.0, "render": 0.0}
+
+    def _timed(leg, f, *a, **k):
+        if not trace:
+            return f(*a, **k)
+        t0 = time.perf_counter()
+        r = f(*a, **k)
+        tr[leg] += time.perf_counter() - t0
+        return r
+
     def drain():
         try:
             while True:
@@ -124,7 +141,8 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
                     break
                 nrows, fut = item
                 futs_q.put((
-                    nrows, np.asarray(fut[0]), np.asarray(fut[1]),
+                    nrows, _timed("drain(link)", np.asarray, fut[0]),
+                    np.asarray(fut[1]),
                     np.asarray(fut[3]) if tie else None,
                 ))
         except BaseException as e:
@@ -173,14 +191,16 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
             r0 = 0
             for fr, lo, hi in take:
                 nseg = hi - lo
-                native.pack2_lines(
+                _timed(
+                    "pack", native.pack2_lines,
                     fr.buf, fr.seq_starts[lo:hi], fr.qual_starts[lo:hi],
                     fr.seq_lens[lo:hi], W, q_offset, thresholds, any_n,
                     b2_out=b2, planes_out=planes, row0=r0,
                 )
                 lengths[r0:r0 + nseg] = fr.seq_lens[lo:hi]
                 r0 += nseg
-            inflight_q.put((rows, engines.fn2(any_n)(b2, planes, lengths)))
+            fut = engines.fn2(any_n)(b2, planes, lengths)
+            _timed("dispatch_stall", inflight_q.put, (rows, fut))
 
         def flush_all():
             nonlocal pend
@@ -196,8 +216,9 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
                 fr = None
                 has_n = False
                 if reader.is_fastq:
-                    fr = codec.frame_fastq_fast(chunk)
-                if fr is not None and native.validate_records(
+                    fr = _timed("frame+scan", codec.frame_fastq_fast, chunk)
+                if fr is not None and _timed(
+                    "frame+scan", native.validate_records,
                     fr.buf, fr.seq_starts, fr.seq_lens, fr.qual_starts,
                     allowed, q_offset,
                 ) != -1:
@@ -331,7 +352,7 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
             if fut is not None:
                 fut.result()  # re-raises fixer errors in the consumer
             ready.popleft()
-            render_block(kind, blk, new_len, keep)
+            _timed("render", render_block, kind, blk, new_len, keep)
             n_total += len(blk)
 
     def flush_if_done():
@@ -387,6 +408,16 @@ def stream_pipeline_lines(reader, cfg: PipelineConfig, *, out_fastq: bool,
     t_drain.join()
     if err:
         raise err[0]
+    if trace:
+        import sys as _sys
+
+        print(
+            "lines trace: "
+            + "  ".join("%s=%.3fs" % (k, v) for k, v in tr.items())
+            + "  (frame/pack/stall on producer, drain on drainer, "
+            "render on caller; legs overlap across threads)",
+            file=_sys.stderr,
+        )
     return n_total, n_out, out_pos
 
 

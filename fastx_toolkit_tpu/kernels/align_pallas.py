@@ -879,12 +879,29 @@ def adapter_codes(adapter: bytes):
         return None
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("adapter", "L", "tile_b", "interpret",
-                                    "tie_flag"))
 def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
                               tile_b: int = 2048, interpret: bool = False,
                               tie_flag: bool = False):
+    """Entry point: resolves the kernel choice (P12 vs two-plane) OUTSIDE
+    the jit so FASTX_TPU_NO_P12 keys the executable cache properly, then
+    dispatches to the jitted implementation below (its docstring has the
+    operand layout)."""
+    use_p12 = packed12_ok(L, len(adapter)) and not os.environ.get(
+        "FASTX_TPU_NO_P12"
+    )
+    return _align_batch_pallas_packed(
+        b2w, nmw, lengths, adapter, L, tile_b=tile_b, interpret=interpret,
+        tie_flag=tie_flag, use_p12=use_p12,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("adapter", "L", "tile_b", "interpret",
+                                    "tie_flag", "use_p12"))
+def _align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
+                               tile_b: int = 2048, interpret: bool = False,
+                               tie_flag: bool = False,
+                               use_p12: bool = False):
     """align_batch on the 2-bit packed upload, no unpacking on or off
     chip.
 
@@ -927,7 +944,6 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     out_shape = tuple(
         jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(n_out)
     )
-    use_p12 = packed12_ok(L, H) and not os.environ.get("FASTX_TPU_NO_P12")
     if use_p12:
         kernel = _make_kernel_packed12(H, H_pad, tile_b, has_nm, tie_flag)
         n_state = 2  # single merged payload plane (see _make_kernel_packed12)

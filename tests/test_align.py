@@ -169,6 +169,83 @@ def test_pallas_bounds_helper_and_errors():
         )
 
 
+def _packed_operands(bases, quals, adapter):
+    """bases [B, L] ACGTN ascii -> (b2w, nmw) in the packed kernel's
+    word layout (pipeline pack_batch2 + _words_T)."""
+    from fastx_toolkit_tpu.engine.pipeline import (
+        PipelineConfig,
+        _words_T,
+        pack_batch2,
+    )
+
+    B, L = bases.shape
+    cfg = PipelineConfig(adapter=adapter)
+    b_for_pack = np.where(bases == 0, ord("A"), bases).astype(np.uint8)
+    b2, planes = pack_batch2(b_for_pack, quals, cfg, n_plane=True)
+    L32 = -(-L // 32) * 32
+    b2w = np.asarray(_words_T(b2, L32 // 4))
+    nmw = np.asarray(_words_T(planes[:, 0], L32 // 8))
+    return b2w, nmw
+
+
+@pytest.mark.parametrize("adapter,L,n_frac", [  # noqa: E741
+    (b"CTGTAGGCACCATCAAT", 100, 0.05),          # headline shape
+    (b"CCTTAAGGCCTTAAGGCCTTAAGGCCTTAAG", 100, 0.05),  # H=31 field bound
+    (b"CTGTAGGCACCATCAAT", 511, 0.03),          # L at the 9-bit qs bound
+    (b"CCTTAAGG", 8, 0.2),                      # tiny reads
+])
+def test_p12_packed_kernel_matches_jnp(adapter, L, n_frac):  # noqa: E741
+    """The single-payload-plane (P12) packed kernel — including the
+    derived gaps field and the tie-fragility flag — must be
+    bit-identical to the jnp engine on adversarial batches, and
+    identical to the two-plane kernel it replaces (FASTX_TPU_NO_P12)."""
+    import os
+
+    from fastx_toolkit_tpu.kernels.align_pallas import (
+        align_batch_pallas_packed,
+        packed12_ok,
+    )
+
+    assert packed12_ok(L, len(adapter))
+    rng = np.random.default_rng(L + len(adapter))
+    B = 64
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    p = [(1 - n_frac) / 4] * 4 + [n_frac]
+    bases = rng.choice(alpha, size=(B, L), p=p)
+    for i in range(0, B, 3):  # spike noisy adapters for realistic hits
+        pos = int(rng.integers(0, max(1, L - len(adapter))))
+        ad = bytearray(adapter)
+        for _ in range(int(rng.integers(0, 3))):
+            j = int(rng.integers(0, len(ad)))
+            ad[j] = int(rng.choice(alpha[:4]))
+        bases[i, pos:pos + len(ad)] = np.frombuffer(
+            bytes(ad), np.uint8)[:L - pos]
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    cols = np.arange(L)
+    bases[cols[None, :] >= lengths[:, None]] = 0
+    quals = np.full((B, L), 30, np.int8)
+
+    ref = {k: np.asarray(v) for k, v in align.align_batch(
+        bases, lengths, adapter, tie_flag=True).items()}
+    b2w, nmw = _packed_operands(bases, quals, adapter)
+    got = {k: np.asarray(v) for k, v in align_batch_pallas_packed(
+        b2w, nmw, lengths, adapter, L=L, tile_b=B, interpret=True,
+        tie_flag=True).items()}
+    for k in FIELDS + ("tie_fragile",):
+        np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+
+    os.environ["FASTX_TPU_NO_P12"] = "1"
+    try:
+        old = {k: np.asarray(v) for k, v in align_batch_pallas_packed(
+            b2w, nmw, lengths, adapter, L=L, tile_b=B, interpret=True,
+            tie_flag=True).items()}
+    finally:
+        del os.environ["FASTX_TPU_NO_P12"]
+    for k in FIELDS + ("tie_fragile",):
+        np.testing.assert_array_equal(old[k], got[k],
+                                      err_msg="P12 vs two-plane: " + k)
+
+
 def test_pallas_length0_padding_rows_are_inert():
     """_align_dispatch pads tail batches with length-0 rows to reach the
     tile size; those rows must not disturb the real rows' results."""
