@@ -411,10 +411,13 @@ def _make_kernel_packed12(H: int, H_pad: int, tile_b: int,
     streamed column/best state drops from 6 planes to 4 ([H_pad, tile]
     int32 read+written per column) — the kernel's measured VMEM-state
     bound scales accordingly (BASELINE.md "The DP's true hardware
-    bound").  The int16-plane alternative was rejected by measurement:
-    int16 sublane tiling pads H_pad to 32 rows and Mosaic's 16-bit
-    compare/select lowering emits the same op count, eating the
-    bandwidth win (see BASELINE.md round 5)."""
+    bound").  The int16-plane alternative is blocked by the toolchain,
+    demonstrated by probe: the `bench.py --vpuprobe` int16 cases (the
+    [32, 2048] int16 plane shape such a kernel would get) fail to
+    compile with a Mosaic INTERNAL error on this stack, and manual
+    two-int16-per-int32 SWAR triples the op count of compare/select —
+    a regression on a kernel the tournament experiment below shows is
+    op-bound (BASELINE.md round 5)."""
     window = scan_window(H, H_pad)
     nscan = max(1, int(np.ceil(np.log2(window))))
     FLOOR = -(20 * H + 11)

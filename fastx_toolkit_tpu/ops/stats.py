@@ -219,9 +219,20 @@ def _get_nth_value(acc: "StatsAccumulator", cyc: int, nuc: int, n: int) -> int:
 
 def _fmt_mean(qsum: int, count: int) -> str:
     """%3.2f of sum/count; the reference hits 0.0/0.0 -> '-nan' for empty
-    per-nucleotide slots (x86 SSE negative qNaN)."""
+    per-nucleotide slots (x86 SSE negative qNaN).
+
+    The reference's ``sum`` field is ``unsigned long long``
+    (fastx_quality_stats.c:120): a NEGATIVE per-slot total (possible,
+    qualities go down to -15) wraps mod 2^64.  The ``%lld`` sum column
+    reinterprets it back to the signed value, but the mean is computed
+    from the UNSIGNED value — ``(double)sum/(double)count``
+    (:305,:392) — so e.g. sum=-5, count=1 prints mean
+    18446744073709551616.00.  Deterministic, so reproduced here
+    (found by tests/fuzz_differential.py)."""
     if count == 0:
         return "-nan"
+    if qsum < 0:
+        qsum += 1 << 64  # the reference's unsigned wraparound
     return "%3.2f" % (float(qsum) / float(count))
 
 

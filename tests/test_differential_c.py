@@ -428,6 +428,27 @@ def _n_heavy_clipper_lane(seed, n=500, adapter=b"CTGTAGGCACCATCAAT"):
 
 
 @pytest.mark.slow
+def test_stats_negative_sum_unsigned_mean_differential(refbin):
+    """A per-slot quality sum can go NEGATIVE (qualities reach -15); the
+    reference stores sum as unsigned long long, so the mean column is
+    computed from the WRAPPED value (e.g. sum=-5, count=1 -> mean
+    18446744073709551616.00) while the %lld sum column reinterprets it
+    back to the signed value.  Found by tests/fuzz_differential.py;
+    emulated in ops/stats._fmt_mean.  Both output formats compared."""
+    from fastx_toolkit_tpu.cli.tools import fastx_quality_stats
+
+    # one N with quality -5 at a cycle nothing else reaches -> the N
+    # slot's sum is -5 with count 1; a second lane drives the ALL slot
+    # negative too
+    rec = b"@a\nACGTN\n+\n" + bytes([33 + 30] * 4 + [33 - 5]) + b"\n"
+    lane1 = rec * 3
+    lane2 = b"@b\nNN\n+\n" + bytes([33 - 5, 33 - 4]) + b"\n"
+    for data in (lane1, lane2, lane1 + lane2):
+        for argv in (["-Q", "33", "-N"], ["-Q", "33"]):
+            _compare(refbin, fastx_quality_stats, "fastx_quality_stats",
+                     argv, data)
+
+
 def test_clipper_differential_n_reads(refbin):
     from fastx_toolkit_tpu.cli.tools import fastx_clipper
 
