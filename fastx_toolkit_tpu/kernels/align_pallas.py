@@ -390,7 +390,8 @@ _P12_TIEMASK = (0x1F << _P12_NM_SHIFT) | _P12_FLAG
 
 
 def _make_kernel_packed12(H: int, H_pad: int, tile_b: int,
-                          has_nm: bool, tie_flag: bool):
+                          has_nm: bool, tie_flag: bool,
+                          cols_per_step: int = 8):
     """Half-state variant of _make_kernel_packed (VERDICT r4 item #1).
 
     The two packed payload planes (P1: four 8-bit counters, P2:
@@ -460,12 +461,12 @@ def _make_kernel_packed12(H: int, H_pad: int, tile_b: int,
             best_scr[0] = jnp.full((H_pad, tile_b), INIT_KEY, jnp.int32)
             best_scr[1] = jnp.zeros((H_pad, tile_b), jnp.int32)
 
-        @pl.when(xg * 8 < tile_maxlen)
+        @pl.when(xg * cols_per_step < tile_maxlen)
         def _cols():
               psc, pP12 = col_scr[0], col_scr[1]
               bkey, bP12 = best_scr[0], best_scr[1]
-              for jj in range(8):
-                x = xg * 8 + jj
+              for jj in range(cols_per_step):
+                x = xg * cols_per_step + jj
                 j4 = (x // 4) % 4
                 wb = bases_ref[x // 16, :].astype(jnp.int32)
                 shift = 8 * j4 + (6 - 2 * (x % 4))
@@ -942,15 +943,25 @@ def _align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     lengths = lengths.astype(jnp.int32)
     tile_max = jnp.max(lengths.reshape(B // tile_b, tile_b), axis=1)
 
-    grid = (B // tile_b, _round_up(L, 8) // 8)
     n_out = 9 if tie_flag else 8
     out_shape = tuple(
         jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(n_out)
     )
     if use_p12:
-        kernel = _make_kernel_packed12(H, H_pad, tile_b, has_nm, tie_flag)
+        # column unroll (FASTX_TPU_P12_UNROLL overrides): columns per
+        # grid step; the scratch round-trip amortizes over the unroll
+        # while Mosaic's live temporaries grow with it.  Measured on
+        # v5e (262144 x 100 bp, flag-off/flag-on M r/s): U=2
+        # 15.4/10.5, U=4 16.8/11.1, U=8 16.1/11.4, U=16 15.3/10.6 —
+        # per-variant defaults pick the winner
+        U = int(os.environ.get("FASTX_TPU_P12_UNROLL",
+                               8 if tie_flag else 4))
+        grid = (B // tile_b, _round_up(L, U) // U)
+        kernel = _make_kernel_packed12(H, H_pad, tile_b, has_nm, tie_flag,
+                                       cols_per_step=U)
         n_state = 2  # single merged payload plane (see _make_kernel_packed12)
     else:
+        grid = (B // tile_b, _round_up(L, 8) // 8)
         kernel = _make_kernel_packed(H, H_pad, L_pad, tile_b, has_nm,
                                      tie_flag)
         n_state = 3
