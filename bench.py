@@ -1722,11 +1722,10 @@ def pertool(n_reads: int | None = None):
     startup_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        import subprocess as _sp
-
-        _sp.run([sys.executable, "-c",
-                 "import jax; import fastx_toolkit_tpu.cli.common"],
-                check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run([sys.executable, "-c",
+                        "import jax; import fastx_toolkit_tpu.cli.common"],
+                       check=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
         startup_times.append(time.perf_counter() - t0)
     startup = min(startup_times)
     rows = []

@@ -112,15 +112,17 @@ def packed_tile_for(H: int, tie_flag: bool = False) -> int | None:
     flag-off body runs 11% faster at tile 1024 (16.45M vs 14.78M r/s —
     fewer live planes spill less), while the flag-on body's extra
     tie-compare temporaries prefer 2048 (11.3M vs 10.8M)."""
-    ov = os.environ.get("FASTX_TPU_PACKED_TILE")
-    if ov:
-        return int(ov)
     H_pad = _h_pad(H)
     if H_pad <= 32:
-        return 2048 if tie_flag else 1024
-    if H_pad <= 72:
-        return 1024
-    return None
+        default = 2048 if tie_flag else 1024
+    elif H_pad <= 72:
+        default = 1024
+    else:
+        return None  # over the VMEM budget even at tile 1024
+    ov = os.environ.get("FASTX_TPU_PACKED_TILE")
+    # the override only retunes adapters the kernel can fit; it must not
+    # resurrect the None fallback's oversized cases
+    return int(ov) if ov else default
 
 
 def scan_window(H: int, H_pad: int) -> int:
@@ -893,19 +895,26 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     use_p12 = packed12_ok(L, len(adapter)) and not os.environ.get(
         "FASTX_TPU_NO_P12"
     )
+    # the unroll is resolved HERE, outside the jit, so the env override
+    # keys the executable cache like use_p12 does (measured per-variant
+    # defaults: see _make_kernel_packed12's call site)
+    p12_unroll = int(os.environ.get("FASTX_TPU_P12_UNROLL",
+                                    8 if tie_flag else 4)) if use_p12 else 0
     return _align_batch_pallas_packed(
         b2w, nmw, lengths, adapter, L, tile_b=tile_b, interpret=interpret,
-        tie_flag=tie_flag, use_p12=use_p12,
+        tie_flag=tie_flag, use_p12=use_p12, p12_unroll=p12_unroll,
     )
 
 
 @functools.partial(jax.jit,
                    static_argnames=("adapter", "L", "tile_b", "interpret",
-                                    "tie_flag", "use_p12"))
+                                    "tie_flag", "use_p12",
+                                    "p12_unroll"))
 def _align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
                                tile_b: int = 2048, interpret: bool = False,
                                tie_flag: bool = False,
-                               use_p12: bool = False):
+                               use_p12: bool = False,
+                               p12_unroll: int = 0):
     """align_batch on the 2-bit packed upload, no unpacking on or off
     chip.
 
@@ -948,14 +957,14 @@ def _align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
         jax.ShapeDtypeStruct((B,), jnp.int32) for _ in range(n_out)
     )
     if use_p12:
-        # column unroll (FASTX_TPU_P12_UNROLL overrides): columns per
-        # grid step; the scratch round-trip amortizes over the unroll
-        # while Mosaic's live temporaries grow with it.  Measured on
-        # v5e (262144 x 100 bp, flag-off/flag-on M r/s): U=2
-        # 15.4/10.5, U=4 16.8/11.1, U=8 16.1/11.4, U=16 15.3/10.6 —
-        # per-variant defaults pick the winner
-        U = int(os.environ.get("FASTX_TPU_P12_UNROLL",
-                               8 if tie_flag else 4))
+        # column unroll (resolved by the caller so FASTX_TPU_P12_UNROLL
+        # keys the executable cache): columns per grid step; the scratch
+        # round-trip amortizes over the unroll while Mosaic's live
+        # temporaries grow with it.  Measured on v5e (262144 x 100 bp,
+        # flag-off/flag-on M r/s): U=2 15.4/10.5, U=4 16.8/11.1, U=8
+        # 16.1/11.4, U=16 15.3/10.6 — per-variant defaults pick the
+        # winner
+        U = p12_unroll or (8 if tie_flag else 4)
         grid = (B // tile_b, _round_up(L, U) // U)
         kernel = _make_kernel_packed12(H, H_pad, tile_b, has_nm, tie_flag,
                                        cols_per_step=U)

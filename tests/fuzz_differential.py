@@ -129,7 +129,6 @@ def run_pair(tool, argv, data, *, with_report=False):
         if not (ln.startswith(b"WARNING:") or ln.startswith(b"I0")
                 or ln.startswith(b"E0") or ln.startswith(b"W0"))
     )
-    pc.stderr = b"\n".join(pc.stderr.split(b"\n"))
     return pc, pm
 
 

@@ -194,18 +194,19 @@ def _packed_operands(bases, quals, adapter):
     (b"CTGTAGGCACCATCAAT", 511, 0.03),          # L at the 9-bit qs bound
     (b"CCTTAAGG", 8, 0.2),                      # tiny reads
 ])
-def test_p12_packed_kernel_matches_jnp(adapter, L, n_frac):  # noqa: E741
+def test_p12_packed_kernel_matches_jnp(adapter, L, n_frac, monkeypatch):  # noqa: E741
     """The single-payload-plane (P12) packed kernel — including the
     derived gaps field and the tie-fragility flag — must be
     bit-identical to the jnp engine on adversarial batches, and
     identical to the two-plane kernel it replaces (FASTX_TPU_NO_P12)."""
-    import os
-
     from fastx_toolkit_tpu.kernels.align_pallas import (
         align_batch_pallas_packed,
         packed12_ok,
     )
 
+    # a pre-set FASTX_TPU_NO_P12 would silently make the comparison
+    # below compare the two-plane kernel with itself
+    monkeypatch.delenv("FASTX_TPU_NO_P12", raising=False)
     assert packed12_ok(L, len(adapter))
     rng = np.random.default_rng(L + len(adapter))
     B = 64
@@ -234,13 +235,11 @@ def test_p12_packed_kernel_matches_jnp(adapter, L, n_frac):  # noqa: E741
     for k in FIELDS + ("tie_fragile",):
         np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
 
-    os.environ["FASTX_TPU_NO_P12"] = "1"
-    try:
-        old = {k: np.asarray(v) for k, v in align_batch_pallas_packed(
-            b2w, nmw, lengths, adapter, L=L, tile_b=B, interpret=True,
-            tie_flag=True).items()}
-    finally:
-        del os.environ["FASTX_TPU_NO_P12"]
+    monkeypatch.setenv("FASTX_TPU_NO_P12", "1")
+    old = {k: np.asarray(v) for k, v in align_batch_pallas_packed(
+        b2w, nmw, lengths, adapter, L=L, tile_b=B, interpret=True,
+        tie_flag=True).items()}
+    monkeypatch.delenv("FASTX_TPU_NO_P12")
     for k in FIELDS + ("tie_fragile",):
         np.testing.assert_array_equal(old[k], got[k],
                                       err_msg="P12 vs two-plane: " + k)
