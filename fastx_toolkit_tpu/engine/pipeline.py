@@ -546,7 +546,16 @@ def packed_fast_body(b2, planes, lengths, cfg: PipelineConfig,
     i_cut = None
     if cfg.with_clip or need_counts:
         L32 = -(-Le // 32) * 32
-        tile = (packed_tile_for(len(cfg.adapter), tie_flag)
+        # an N-free batch with an ACGT adapter runs the flag-free kernel
+        # even under tie_flag (align_batch_pallas_packed's provably-zero
+        # shortcut), so the tile choice must match that variant
+        from ..kernels.align_pallas import adapter_codes
+
+        acodes = adapter_codes(cfg.adapter)
+        eff_tie = tie_flag and (
+            nmb is not None or acodes is None or any(c >= 4 for c in acodes)
+        )
+        tile = (packed_tile_for(len(cfg.adapter), eff_tie)
                 if cfg.with_clip else 2048)
         Bp = -(-B // tile) * tile
         b2w = _pad_rows(_words_T(b2, L32 // 4), Bp)

@@ -895,15 +895,30 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     use_p12 = packed12_ok(L, len(adapter)) and not os.environ.get(
         "FASTX_TPU_NO_P12"
     )
+    codes = adapter_codes(adapter)
+    if (tie_flag and nmw is None and codes is not None
+            and all(c < 4 for c in codes)):
+        # no N source on either side: neutrals are impossible, every
+        # score is a small integer exact in float32, so the float engine
+        # decides every comparison identically and the fragility flag is
+        # provably all-zero — run the flag-FREE kernel (the detection
+        # compares are the flag's whole cost) and synthesize the flags
+        tie_flag = False
+        add_zero_flags = True
+    else:
+        add_zero_flags = False
     # the unroll is resolved HERE, outside the jit, so the env override
     # keys the executable cache like use_p12 does (measured per-variant
     # defaults: see _make_kernel_packed12's call site)
     p12_unroll = int(os.environ.get("FASTX_TPU_P12_UNROLL",
                                     8 if tie_flag else 4)) if use_p12 else 0
-    return _align_batch_pallas_packed(
+    res = _align_batch_pallas_packed(
         b2w, nmw, lengths, adapter, L, tile_b=tile_b, interpret=interpret,
         tie_flag=tie_flag, use_p12=use_p12, p12_unroll=p12_unroll,
     )
+    if add_zero_flags:
+        res["tie_fragile"] = jnp.zeros(b2w.shape[1], bool)
+    return res
 
 
 @functools.partial(jax.jit,

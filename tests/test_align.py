@@ -193,6 +193,8 @@ def _packed_operands(bases, quals, adapter):
     (b"CCTTAAGGCCTTAAGGCCTTAAGGCCTTAAG", 100, 0.05),  # H=31 field bound
     (b"CTGTAGGCACCATCAAT", 511, 0.03),          # L at the 9-bit qs bound
     (b"CCTTAAGG", 8, 0.2),                      # tiny reads
+    (b"CTGTAGGCACCATCAAT", 100, 0.0),           # N-free: provably-zero
+    # flags shortcut (the kernel wrapper runs the flag-free variant)
 ])
 def test_p12_packed_kernel_matches_jnp(adapter, L, n_frac, monkeypatch):  # noqa: E741
     """The single-payload-plane (P12) packed kernel — including the
@@ -229,11 +231,19 @@ def test_p12_packed_kernel_matches_jnp(adapter, L, n_frac, monkeypatch):  # noqa
     ref = {k: np.asarray(v) for k, v in align.align_batch(
         bases, lengths, adapter, tie_flag=True).items()}
     b2w, nmw = _packed_operands(bases, quals, adapter)
+    if n_frac == 0.0:
+        # N-free batches ship no nm plane; with an ACGT adapter the
+        # wrapper takes the provably-zero-flags shortcut (flag-free
+        # kernel + synthesized flags) — the comparison below checks the
+        # jnp engine agrees the flags are all zero
+        nmw = None
     got = {k: np.asarray(v) for k, v in align_batch_pallas_packed(
         b2w, nmw, lengths, adapter, L=L, tile_b=B, interpret=True,
         tie_flag=True).items()}
     for k in FIELDS + ("tie_fragile",):
         np.testing.assert_array_equal(ref[k], got[k], err_msg=k)
+    if n_frac == 0.0:
+        assert not np.asarray(got["tie_fragile"]).any()
 
     monkeypatch.setenv("FASTX_TPU_NO_P12", "1")
     old = {k: np.asarray(v) for k, v in align_batch_pallas_packed(
