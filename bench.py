@@ -1728,6 +1728,15 @@ def pertool(n_reads: int | None = None):
                        cwd=os.path.dirname(os.path.abspath(__file__)))
         startup_times.append(time.perf_counter() - t0)
     startup = min(startup_times)
+    # per-(tool, mode) fixed overhead: the SAME tool on a 256-read lane
+    # pays the same import + trace + compile the timed reps pay, so
+    # (t_full - t_tiny) isolates steady-state processing — the
+    # import-only probe above under-subtracts for the classic mode,
+    # whose per-process jit compile would otherwise be billed as
+    # processing time (review finding, round 5)
+    tiny = tempfile.NamedTemporaryFile(suffix=".fastq", delete=False)
+    tiny.write(synth_lane_bytes(256, READ_LEN, seed=5))
+    tiny.close()
     rows = []
     for tool, extra in PER_READ_TOOLS:
         row = {"tool": tool}
@@ -1739,6 +1748,14 @@ def pertool(n_reads: int | None = None):
             out_path = lane.name + ".%s.%s.out" % (tool, mode)
             argv = [os.path.join(bindir, tool), "-Q", "33",
                     *extra, "-i", lane.name, "-o", out_path]
+            tiny_out = tiny.name + ".%s.%s.out" % (tool, mode)
+            t0 = time.perf_counter()
+            subprocess.run([os.path.join(bindir, tool), "-Q", "33", *extra,
+                            "-i", tiny.name, "-o", tiny_out],
+                           env=env, check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            fixed = time.perf_counter() - t0
+            os.unlink(tiny_out)
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -1749,6 +1766,9 @@ def pertool(n_reads: int | None = None):
             row[mode + "_rps"] = round(n / _median(times), 1)
             row[mode + "_rps_startup_adjusted"] = round(
                 n / max(_median(times) - startup, 1e-3), 1)
+            row[mode + "_fixed_sec"] = round(fixed, 2)
+            row[mode + "_rps_steady"] = round(
+                n / max(_median(times) - fixed, 1e-3), 1)
             row[mode + "_secs"] = [round(t, 2) for t in sorted(times)]
             with open(out_path, "rb") as f:
                 outs[mode] = f.read()
@@ -1781,6 +1801,7 @@ def pertool(n_reads: int | None = None):
         floor_times.append(time.perf_counter() - t0)
     floor_rps = n / _median(floor_times)
     os.unlink(lane.name)
+    os.unlink(tiny.name)
     print(json.dumps({
         "metric": "per_tool_engine_table",
         "n_reads": n,
@@ -1788,7 +1809,9 @@ def pertool(n_reads: int | None = None):
         "classic_parse_pack_floor_rps": round(floor_rps, 1),
         "note": "floor = classic path's mandatory host parse+pack with "
                 "the device free; host_rps > floor means host wins on "
-                "any link (engine/policy.py per-read default)",
+                "any link (engine/policy.py per-read default); *_steady "
+                "subtracts each mode's own tiny-lane run (import + "
+                "trace + compile), the fair steady-state comparison",
         "tools": rows,
     }))
 

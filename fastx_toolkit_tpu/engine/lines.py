@@ -46,6 +46,25 @@ from .pipeline import (
 
 CHUNK = int(os.environ.get("FASTX_TPU_CHUNK", 262144))
 
+# env knobs whose values are read while TRACING the decisions step
+# (kernel selection, tile/unroll tuning, the tie-fix default).  The
+# jitted programs LineEngines memoizes bake these in, so the memo must
+# be invalidated when any of them changes mid-process (tests and
+# differential harnesses toggle them) — the same executable-cache rule
+# align_batch_pallas_packed applies via static args.
+_TRACE_ENV_KNOBS = (
+    "FASTX_TPU_NO_P12",
+    "FASTX_TPU_P12_UNROLL",
+    "FASTX_TPU_PACKED_TILE",
+    "FASTX_TPU_NO_PACKED_DECIDE",
+    "FASTX_TPU_PACKED_DECIDE",
+    "FASTX_TPU_NO_TIE_FIX",
+)
+
+
+def _trace_env_snapshot():
+    return tuple(os.environ.get(k) for k in _TRACE_ENV_KNOBS)
+
 
 class LineEngines:
     """Lazily-built jitted programs for one PipelineConfig.  Reuse one
@@ -61,12 +80,24 @@ class LineEngines:
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
+        self._env = _trace_env_snapshot()
         self.tie = bool(cfg.with_clip) and not os.environ.get(
             "FASTX_TPU_NO_TIE_FIX"
         )
         self._fn2_clean = self._fn2 = self._unpacked = None
 
+    def _check_env(self):
+        """Drop memoized programs if a trace-time env knob changed."""
+        env = _trace_env_snapshot()
+        if env != self._env:
+            self._env = env
+            self.tie = bool(self.cfg.with_clip) and not os.environ.get(
+                "FASTX_TPU_NO_TIE_FIX"
+            )
+            self._fn2_clean = self._fn2 = self._unpacked = None
+
     def fn2(self, has_n: bool):
+        self._check_env()
         if has_n:
             if self._fn2 is None:
                 self._fn2 = packed_decisions_pipeline(
@@ -80,6 +111,7 @@ class LineEngines:
         return self._fn2_clean
 
     def unpacked(self):
+        self._check_env()
         if self._unpacked is None:
             self._unpacked = decisions_pipeline(self.cfg, tie_flag=self.tie)
         return self._unpacked

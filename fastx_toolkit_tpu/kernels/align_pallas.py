@@ -120,9 +120,18 @@ def packed_tile_for(H: int, tie_flag: bool = False) -> int | None:
     else:
         return None  # over the VMEM budget even at tile 1024
     ov = os.environ.get("FASTX_TPU_PACKED_TILE")
+    if not ov:
+        return default
     # the override only retunes adapters the kernel can fit; it must not
-    # resurrect the None fallback's oversized cases
-    return int(ov) if ov else default
+    # resurrect the None fallback's oversized cases, pick a tile Mosaic
+    # rejects (non-multiple of 1024), or blow the ~72K-element budget
+    tile = int(ov)
+    if tile < 1024 or tile % 1024 or H_pad * tile > 72 * 1024:
+        raise ValueError(
+            "FASTX_TPU_PACKED_TILE=%s invalid for H_pad=%d: need a "
+            "positive multiple of 1024 with H_pad*tile <= %d" %
+            (ov, H_pad, 72 * 1024))
+    return tile
 
 
 def scan_window(H: int, H_pad: int) -> int:
@@ -912,6 +921,12 @@ def align_batch_pallas_packed(b2w, nmw, lengths, adapter: bytes, L: int,
     # defaults: see _make_kernel_packed12's call site)
     p12_unroll = int(os.environ.get("FASTX_TPU_P12_UNROLL",
                                     8 if tie_flag else 4)) if use_p12 else 0
+    if p12_unroll not in (0, 1, 2, 4, 8, 16, 32):
+        # the grid is _round_up(L, U)//U steps of U columns; U > 32
+        # can push x past the 32-code-aligned operand rows (OOB VMEM
+        # reads), and non-powers-of-two defeat the x//16 row indexing
+        raise ValueError("FASTX_TPU_P12_UNROLL must be one of "
+                         "1/2/4/8/16/32, got %d" % p12_unroll)
     res = _align_batch_pallas_packed(
         b2w, nmw, lengths, adapter, L, tile_b=tile_b, interpret=interpret,
         tie_flag=tie_flag, use_p12=use_p12, p12_unroll=p12_unroll,

@@ -102,7 +102,13 @@ def collapse_hashed(words, counts, first_idx, weak_hash: bool = False,
 
     The exact gather-based adjacent compare (unconditional correctness,
     ~2.2x slower) remains available: FASTX_COLLAPSE_EXACT=1 routes
-    collapse_batch through collapse().
+    collapse_batch through collapse().  Reviewed risk acceptance: the
+    four mixes share the multiply+xorshift structure (they differ in
+    multiplier, shift and per-word salt, not in family), so the
+    ~B^2/2^129 figure assumes non-adversarial input; a caller that must
+    collapse ATTACKER-CONTROLLED sequences should set
+    FASTX_COLLAPSE_EXACT=1 (round 4's behavior, which verified the true
+    words for every adjacent pair).
 
     ``weak_hash`` (test hook) degrades the two SORT hashes to a constant
     so the collision-detect path is exercisable under pytest (the second

@@ -19,6 +19,7 @@ on CPU it exercises the jnp engines.
 """
 
 import os
+import re
 import subprocess
 import sys
 import time
@@ -123,12 +124,22 @@ def run_pair(tool, argv, data, *, with_report=False):
     pm = subprocess.run([os.path.join(BIN, tool), *args], input=data,
                         capture_output=True, timeout=600, env=env)
     # the jax runtime banners ('WARNING:... Platform axon is
-    # experimental', absl logs) are not part of the tool's report surface
-    pm.stderr = b"\n".join(
-        ln for ln in pm.stderr.split(b"\n")
-        if not (ln.startswith(b"WARNING:") or ln.startswith(b"I0")
-                or ln.startswith(b"E0") or ln.startswith(b"W0"))
-    )
+    # experimental', absl logs) and Python warnings ('/path/mod.py:12:
+    # UserWarning: ...' plus its indented source-line continuation) are
+    # not part of the tool's report surface
+    kept, in_warning = [], False
+    for ln in pm.stderr.split(b"\n"):
+        if in_warning and ln[:1] in (b" ", b"\t"):
+            continue
+        in_warning = False
+        if (ln.startswith(b"WARNING:") or ln.startswith(b"I0")
+                or ln.startswith(b"E0") or ln.startswith(b"W0")):
+            continue
+        if re.match(rb"[^:\n]+\.py:\d+: \S*Warning", ln):
+            in_warning = True
+            continue
+        kept.append(ln)
+    pm.stderr = b"\n".join(kept)
     return pc, pm
 
 
