@@ -1749,12 +1749,16 @@ def pertool(n_reads: int | None = None):
             argv = [os.path.join(bindir, tool), "-Q", "33",
                     *extra, "-i", lane.name, "-o", out_path]
             tiny_out = tiny.name + ".%s.%s.out" % (tool, mode)
-            t0 = time.perf_counter()
-            subprocess.run([os.path.join(bindir, tool), "-Q", "33", *extra,
-                            "-i", tiny.name, "-o", tiny_out],
-                           env=env, check=True, stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
-            fixed = time.perf_counter() - t0
+            tiny_times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                subprocess.run([os.path.join(bindir, tool), "-Q", "33",
+                                *extra, "-i", tiny.name, "-o", tiny_out],
+                               env=env, check=True,
+                               stdout=subprocess.DEVNULL,
+                               stderr=subprocess.DEVNULL)
+                tiny_times.append(time.perf_counter() - t0)
+            fixed = min(tiny_times)
             os.unlink(tiny_out)
             times = []
             for _ in range(reps):
@@ -1767,8 +1771,14 @@ def pertool(n_reads: int | None = None):
             row[mode + "_rps_startup_adjusted"] = round(
                 n / max(_median(times) - startup, 1e-3), 1)
             row[mode + "_fixed_sec"] = round(fixed, 2)
-            row[mode + "_rps_steady"] = round(
-                n / max(_median(times) - fixed, 1e-3), 1)
+            # steady-state = processing time with the per-process fixed
+            # cost (import + trace + compile, = the tiny run) removed;
+            # when the lane is too small to resolve the difference
+            # against run-to-run noise, say so instead of emitting a
+            # clamped nonsense rate
+            steady_denom = _median(times) - fixed
+            row[mode + "_rps_steady"] = (
+                round(n / steady_denom, 1) if steady_denom > 0.1 else None)
             row[mode + "_secs"] = [round(t, 2) for t in sorted(times)]
             with open(out_path, "rb") as f:
                 outs[mode] = f.read()

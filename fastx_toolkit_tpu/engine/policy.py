@@ -26,9 +26,10 @@ Policy (the auto mode):
   kernels run millions of reads/sec (BASELINE.md --device table).
 * **per-read tools** -> ``host`` on every rig, backed by the PER-TOOL
   measured table (``python bench.py --pertool``, 2026-08-21, recorded in
-  BASELINE.md round 5): each of the six raw-line tools runs 2.4-10x
-  faster through the host path than the classic device path on this rig
-  (startup-adjusted; outputs byte-identical).  The local-PCIe
+  BASELINE.md round 5): each of the six raw-line tools runs 2.9-10x
+  faster through the host path startup-adjusted, and 4.4-10x+ under the
+  fair steady-state accounting (each mode's own trace+compile fixed
+  cost subtracted; outputs byte-identical).  The local-PCIe
   extrapolation holds tool-by-tool because both paths pay the same
   render/IO legs (~85% of the host wall) while the classic path adds
   the padded parse+pack on top (measured floor ~1.0M r/s); even with a
